@@ -1,0 +1,27 @@
+"""meshopticalflow_tpu — a TPU-native surface optical-flow framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+fabianprada/MeshOpticalFlow (C++/Eigen/OpenMP): halfway optical-flow alignment
+of signals (per-vertex colors or uv textures) on triangle-mesh surfaces, plus
+the vector-Laplacian spectrum and texture-baking tools.
+
+Architecture (TPU-first, not a port):
+  * host-side geometry preprocessing (numpy, float64) produces frozen,
+    static-shape device arrays: triangle table, intrinsic metric, EdgeXForm
+    SoA chart-transition table, texel sample table;
+  * all static operators (smoothness energies, scalar mass/stiffness) are
+    assembled on host and shipped as padded-ELL sparse matrices — SpMV on TPU
+    is one gather + a fixed-width reduction;
+  * the per-level Gauss-Newton flow system (data term + lambda * smoothness)
+    is folded into a single ELL matrix via a precomputed slot map and solved
+    with Jacobi-preconditioned CG (replacing the reference's repeated sparse
+    Cholesky refactorizations, LinearSolvers.h:294-335);
+  * geodesic tracing/advection (FEM.inl:901-994) runs as a batched, masked
+    lax.while_loop over all texel/triangle lanes at once;
+  * scale-out uses jax.sharding over a device mesh (lanes and matrix
+    row-blocks sharded, CG dot-products reduced with psum).
+"""
+
+__version__ = "0.1.0"
+
+from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode, ConnectionMode

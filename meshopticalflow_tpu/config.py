@@ -1,0 +1,83 @@
+"""Run configuration mirroring the reference CLI contract.
+
+Flag surface and defaults follow the reference exactly
+(OpticalFlow/OpticalFlow.cpp:56-63, Spectrum/Spectrum.cpp:57-61,
+SampleTextureToVertices/SampleTextureToVertices.cpp:47-50).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+
+class VectorFieldMode(enum.IntEnum):
+    """Vector-field basis (Src/VectorField.h:3-7)."""
+
+    WHITNEY = 0
+    CONFORMAL = 1
+    CONNECTION = 2
+
+
+class ConnectionMode(enum.IntEnum):
+    """Dual-edge weight mode for the connection basis (Src/Connection.inl:1-5)."""
+
+    PROJECTED_BARYCENTRIC = 0
+    BARYCENTRIC = 1
+    INVERSE_COTANGENT = 2
+
+
+# Per-mode default vector-field smoothing weights (OpticalFlow.cpp:1063-1070).
+DEFAULT_VF_SMOOTH_WEIGHT = {
+    VectorFieldMode.WHITNEY: 3e-6,
+    VectorFieldMode.CONFORMAL: 5e-7,
+    VectorFieldMode.CONNECTION: 1e4,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Static configuration of an optical-flow run (hashable, jit-friendly).
+
+    Defaults match OpticalFlow.cpp:56-63.
+    """
+
+    vf_mode: VectorFieldMode = VectorFieldMode.WHITNEY
+    connection_mode: ConnectionMode = ConnectionMode.PROJECTED_BARYCENTRIC
+    levels: int = 10
+    pad_radius: int = 2
+    scalar_smooth_weight: float = 3e-3
+    vf_smooth_weight: Optional[float] = None  # None -> per-mode default
+    vf_smooth_weight_threshold: float = 1e-8
+    subdivide_edge_length: float = 0.006  # x bbox diagonal (OpticalFlow.cpp:712-714)
+    dog_weight: float = 1.0
+    dog_smooth: float = 1e-4
+    scalar_weight_multiplier: float = 0.25
+    vf_weight_multiplier: float = 1.0
+    divergence_free: bool = False
+    log_space: bool = False
+    nearest: bool = False
+    # Numerics (rebuild-specific):
+    dtype: str = "float32"  # device compute dtype
+    cg_tol: float = 1e-7  # relative residual tolerance for PCG solves
+    cg_max_iters: int = 2000
+    flow_min_step: float = 1e-2  # minStepSize (OpticalFlow.cpp:209,510)
+    flow_max_steps: int = 4096  # safety cap on tracing iterations (ref: 1e6, FEM.inl:905)
+    use_host_cholesky: bool = False  # scipy oracle path for the level solves
+
+    @property
+    def np_dtype(self) -> np.dtype:
+        return np.dtype(self.dtype)
+
+    @property
+    def channels(self) -> int:
+        """double,6 when 0<dogWeight<1 (signal + DoG band), else 3 (OpticalFlow.cpp:1113-1115)."""
+        return 6 if 0.0 < self.dog_weight < 1.0 else 3
+
+    def resolved_vf_smooth_weight(self) -> float:
+        if self.vf_smooth_weight is not None:
+            return self.vf_smooth_weight
+        return DEFAULT_VF_SMOOTH_WEIGHT[VectorFieldMode(self.vf_mode)]
