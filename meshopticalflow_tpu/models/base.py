@@ -1,0 +1,180 @@
+"""Vector-field basis abstraction — TPU-native form of Src/VectorField.h.
+
+A basis is (coefficients c, prolongation P, restriction P^T, smoothness S):
+  * P maps coefficients to per-triangle tangent 2-vectors in barycentric
+    chart coordinates (VectorField.h:107-112). All three reference bases
+    share one structural fact this rebuild exploits: the coefficient indices
+    feeding a triangle depend only on (triangle, slot), not on the chart
+    component. So P is stored as a fixed-fan-in gather
+        tfield[t, a] = sum_k p_wt[t, a, k] * c[p_idx[t, k]]
+    and P^T is the matching segment-sum scatter.
+  * S is static geometry — assembled once on host and shipped as padded ELL.
+  * The per-level Gauss-Newton system  (R D P)/||R D P||_F + lambda * S
+    (VectorField.h:46-104) is built on device by scatter-adding the
+    closed-form R D P entries
+        val[t, k, l] = sum_ab p_wt[t,a,k] D[t,a,b] p_wt[t,b,l]
+    into precomputed slots of the union sparsity pattern, yielding ONE ELL
+    matrix per level; it is solved with Jacobi-PCG instead of the
+    reference's repeated sparse Cholesky refactorization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from meshopticalflow_tpu.config import ConnectionMode, FlowConfig, VectorFieldMode
+from meshopticalflow_tpu.geometry.mesh import HostMesh
+from meshopticalflow_tpu.ops.ell import HostEll, coo_slot_map, ell_from_scipy, ell_matvec
+from meshopticalflow_tpu.solvers.cg import pcg
+
+
+@dataclasses.dataclass
+class BasisHost:
+    """Host-side basis: prolongation structure + smoothness operator."""
+
+    name: str
+    n_coeffs: int
+    p_idx: np.ndarray   # (T, K) int64 coefficient indices
+    p_wt: np.ndarray    # (T, 2, K) float64 weights
+    smooth: sp.csr_matrix
+
+
+class BasisDevice(struct.PyTreeNode):
+    """Frozen device-side basis (a pytree; shapes are static)."""
+
+    p_idx: jnp.ndarray       # (T, K) int32
+    p_wt: jnp.ndarray        # (T, 2, K)
+    ell_cols: jnp.ndarray    # (N, W) int32 — union pattern of S and R D P
+    s_vals: jnp.ndarray      # (N, W) smoothness values on the union pattern
+    diag_slot: jnp.ndarray   # (N,) int32
+    dt_slots: jnp.ndarray    # (T*K*K,) int32 flat slots of R D P entries
+    n_coeffs: int = struct.field(pytree_node=False)
+
+    @property
+    def ell_width(self) -> int:
+        return self.ell_cols.shape[1]
+
+
+def finalize_basis(host: BasisHost, dtype=jnp.float32) -> BasisDevice:
+    """Union the S pattern with the R D P pattern and precompute slot maps."""
+    n = host.n_coeffs
+    t_count, k = host.p_idx.shape
+    rows = np.repeat(host.p_idx, k, axis=1).ravel()   # (T*K*K,) entry (t,k,l) -> p_idx[t,k]
+    cols = np.tile(host.p_idx, (1, k)).ravel()        # -> p_idx[t,l]
+    # Union of the S pattern and the R D P pattern. Nonzero dummy values keep
+    # scipy from pruning structure; only the pattern of ``union`` is used.
+    pattern = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n)).tocsr()
+    s_pattern = host.smooth.copy().tocsr()
+    s_pattern.data = np.ones_like(s_pattern.data)
+    union = (s_pattern + pattern).tocsr()
+    ell = ell_from_scipy(union)
+    # Overwrite values with S alone (union assembly summed S + 0-pattern).
+    s_coo = host.smooth.tocoo()
+    s_slots = coo_slot_map(ell.cols, s_coo.row, s_coo.col)
+    vals = np.zeros(ell.cols.shape, np.float64).ravel()
+    np.add.at(vals, s_slots, s_coo.data)
+    vals = vals.reshape(ell.cols.shape)
+    dt_slots = coo_slot_map(ell.cols, rows, cols)
+    return BasisDevice(
+        p_idx=jnp.asarray(host.p_idx, jnp.int32),
+        p_wt=jnp.asarray(host.p_wt, dtype),
+        ell_cols=jnp.asarray(ell.cols),
+        s_vals=jnp.asarray(vals, dtype),
+        diag_slot=jnp.asarray(ell.diag_slot),
+        dt_slots=jnp.asarray(dt_slots),
+        n_coeffs=n,
+    )
+
+
+def build_basis(mesh: HostMesh, config: FlowConfig) -> Tuple[BasisHost, BasisDevice]:
+    """Factory over the three basis families (OpticalFlow.cpp:862-870)."""
+    from meshopticalflow_tpu.models.conformal import build_conformal_basis
+    from meshopticalflow_tpu.models.connection import build_connection_basis
+    from meshopticalflow_tpu.models.whitney import build_whitney_basis
+
+    mode = VectorFieldMode(config.vf_mode)
+    if mode == VectorFieldMode.WHITNEY:
+        host = build_whitney_basis(mesh)
+    elif mode == VectorFieldMode.CONFORMAL:
+        host = build_conformal_basis(mesh, divergence_free=config.divergence_free)
+    else:
+        host = build_connection_basis(mesh, ConnectionMode(config.connection_mode))
+    dev = finalize_basis(host, dtype=jnp.dtype(config.dtype))
+    return host, dev
+
+
+# ----------------------------------------------------------------------------
+# Device-side operations (pure jnp, jit/shard_map friendly)
+# ----------------------------------------------------------------------------
+
+def prolong(basis: BasisDevice, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """tfield (T, 2) = P c  (GetTriangleVectorField, VectorField.h:107-112)."""
+    return jnp.einsum("tak,tk->ta", basis.p_wt, coeffs[basis.p_idx])
+
+
+def restrict(basis: BasisDevice, tfield: jnp.ndarray) -> jnp.ndarray:
+    """c (n,) = P^T y for per-triangle 2-vectors y."""
+    contrib = jnp.einsum("tak,ta->tk", basis.p_wt, tfield)
+    return jax.ops.segment_sum(contrib.ravel(), basis.p_idx.ravel(),
+                               num_segments=basis.n_coeffs)
+
+
+def reduce_rhs(basis: BasisDevice, rhs_t: jnp.ndarray) -> jnp.ndarray:
+    """R rhs, rhs given per triangle (T, 2)."""
+    return restrict(basis, rhs_t)
+
+
+def data_term_ell_vals(basis: BasisDevice, d_blocks: jnp.ndarray) -> jnp.ndarray:
+    """Assembled R D P on the union ELL pattern (flattened (N*W,)).
+
+    Duplicate COO entries (e.g. a coefficient seen from both triangles of an
+    edge) fold in the scatter-add, so the Frobenius norm of the result equals
+    the reference's dataTerm.SquareNorm() (VectorField.h:57)."""
+    vals = jnp.einsum("tak,tab,tbl->tkl", basis.p_wt, d_blocks, basis.p_wt)
+    flat = jnp.zeros(basis.ell_cols.size, dtype=vals.dtype)
+    return flat.at[basis.dt_slots].add(vals.ravel())
+
+
+def update_optical_flow(
+    basis: BasisDevice,
+    coeffs: jnp.ndarray,
+    d_blocks: jnp.ndarray,     # (T, 2, 2)
+    rhs_t: jnp.ndarray,        # (T, 2)
+    vf_smooth_weight: jnp.ndarray,
+    cg_tol: float = 1e-7,
+    cg_max_iters: int = 2000,
+):
+    """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
+    VectorField.h:46-104).
+
+    Returns (new_coeffs, tfield, solve_stats).
+    """
+    n, w = basis.ell_cols.shape
+    dt_flat = data_term_ell_vals(basis, d_blocks)
+    frob = jnp.sqrt(jnp.sum(dt_flat * dt_flat))
+    scale = jnp.where(frob > 0, 1.0 / frob, 0.0)
+    dt_vals = (dt_flat * scale).reshape(n, w)
+    sys_vals = dt_vals + vf_smooth_weight * basis.s_vals
+    rhs = reduce_rhs(basis, rhs_t) * scale
+
+    diag = jnp.take_along_axis(sys_vals, basis.diag_slot[:, None], axis=1)[:, 0]
+    x, stats = pcg(
+        lambda v: ell_matvec(basis.ell_cols, sys_vals, v),
+        rhs, diag, tol=cg_tol, max_iters=cg_max_iters)
+
+    # Optimal step tau = (x . rhs) / (x . dataTerm x) (VectorField.h:89-99).
+    dx = ell_matvec(basis.ell_cols, dt_vals, x)
+    denom = jnp.vdot(x, dx)
+    num = jnp.vdot(x, rhs)
+    step = jnp.where(denom != 0, num / jnp.where(denom != 0, denom, 1.0), 0.0)
+    new_coeffs = coeffs + step * x
+    tfield = prolong(basis, new_coeffs)
+    return new_coeffs, tfield, stats
