@@ -1,0 +1,366 @@
+"""Geodesic tracing on the intrinsic mesh — the framework's hot kernel.
+
+Rebuild of the reference triangle-marching loops as batched, masked
+``lax.while_loop`` iteration over all lanes (texels / triangle barycenters)
+at once:
+
+  * ``flow_field_trace``: advect a point along a piecewise-constant
+    per-triangle field for a given flow time, re-reading the field every
+    ``min_step`` of metric arc length and stopping on direction reversal
+    (FEM::RiemannianMesh::flow, FEM.inl:901-994);
+  * ``whitney_flow_trace``: same, evaluating the Whitney field from signed
+    half-edge coefficients continuously at the current point
+    (FEM.inl:998-1100);
+  * ``exp_map``: straight-line geodesic of a Hermite sample, used to remap
+    out-of-chart texels (FEM.inl:834-899).
+
+Each iteration does a few (N,)-wide gathers into the EdgeXForm SoA table and
+2x2 chart algebra; XLA vectorizes the whole state update on the VPU. The
+while_loop trip count is the max over lanes (all lanes march together under
+an active mask), capped by ``max_steps`` — the reference caps at 1e6
+(FEM.inl:905) but real traces finish in O(flow_time/min_step * edges per
+step).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from meshopticalflow_tpu.geometry.mesh import HostMesh
+
+
+class TraceMesh(struct.PyTreeNode):
+    """Device-resident mesh tables for tracing and sampling."""
+
+    triangles: jnp.ndarray     # (T, 3) int32
+    g: jnp.ndarray             # (T, 2, 2)
+    g_inv: jnp.ndarray         # (T, 2, 2)
+    area: jnp.ndarray          # (T,)
+    opp: jnp.ndarray           # (3T,) int32
+    xform_linear: jnp.ndarray  # (3T, 2, 2)
+    xform_const: jnp.ndarray   # (3T, 2)
+
+    @property
+    def n_triangles(self) -> int:
+        return self.triangles.shape[0]
+
+
+def make_trace_mesh(mesh: HostMesh, dtype=jnp.float32) -> TraceMesh:
+    return TraceMesh(
+        triangles=jnp.asarray(mesh.triangles, jnp.int32),
+        g=jnp.asarray(mesh.g, dtype),
+        g_inv=jnp.asarray(mesh.g_inv, dtype),
+        area=jnp.asarray(mesh.area, dtype),
+        opp=jnp.asarray(mesh.opp, jnp.int32),
+        xform_linear=jnp.asarray(mesh.xform_linear, dtype),
+        xform_const=jnp.asarray(mesh.xform_const, dtype),
+    )
+
+
+def _edge_exit(p, v, in_edge, eps):
+    """Largest positive ray-edge intersection (FEM.inl:916-927).
+
+    Candidates are checked in the reference order (bottom -> chart edge 2,
+    left -> 1, diagonal -> 0) keeping the larger s. Returns (s, idx) with
+    idx = -1 when no edge is hit.
+    """
+    with jax.numpy_dtype_promotion("standard"):
+        s_bottom = -p[:, 1] / v[:, 1]
+        s_left = -p[:, 0] / v[:, 0]
+        s_diag = (1.0 - p[:, 0] - p[:, 1]) / (v[:, 0] + v[:, 1])
+        best_s = jnp.zeros_like(s_bottom)
+        best_idx = jnp.full(p.shape[0], -1, jnp.int32)
+        for s_cand, foo_axis, idx in ((s_bottom, 0, 2), (s_left, 1, 1), (s_diag, 0, 0)):
+            foo = p[:, foo_axis] + v[:, foo_axis] * s_cand
+            ok = (in_edge != idx) & (s_cand > 0) & (foo >= -eps) & (foo <= 1 + eps) & (s_cand > best_s)
+            best_s = jnp.where(ok, s_cand, best_s)
+            best_idx = jnp.where(ok, idx, best_idx)
+    return best_s, best_idx
+
+
+def _metric_dot(g, a, b):
+    return jnp.einsum("na,nab,nb->n", a, g, b)
+
+
+def flow_field_trace(
+    tm: TraceMesh,
+    vfield: jnp.ndarray,        # (T, 2) per-triangle field (chart coordinates)
+    flow_time,                  # scalar flow time (sign = direction)
+    t_idx: jnp.ndarray,         # (N,) int32 starting triangles (may be -1: inactive)
+    p: jnp.ndarray,             # (N, 2) starting barycentric points
+    min_step: float,
+    max_steps: int = 4096,
+    eps: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched FEM::RiemannianMesh::flow (FEM.inl:901-994). Returns final
+    (t_idx, p); lanes with t_idx < 0 pass through unchanged."""
+    dtype = p.dtype
+    n = p.shape[0]
+    flow_time = jnp.asarray(flow_time, dtype)
+    direction = jnp.where(flow_time < 0, -1.0, 1.0).astype(dtype)
+    ft0 = jnp.abs(flow_time)
+
+    valid = t_idx >= 0
+    t_safe = jnp.maximum(t_idx, 0)
+    v0 = vfield[t_safe] * direction
+    state = dict(
+        t=t_safe,
+        p=p,
+        v=v0,
+        ft=jnp.full(n, ft0, dtype),
+        step_left=jnp.full(n, jnp.asarray(min_step, dtype)),
+        in_edge=jnp.full(n, -1, jnp.int32),
+        active=valid & (jnp.sum(v0 * v0, -1) > 0),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["count"] < max_steps) & jnp.any(s["active"])
+
+    def body(s):
+        t, pp, v, ft = s["t"], s["p"], s["v"], s["ft"]
+        active = s["active"] & (jnp.sum(v * v, -1) > 0)
+        step, idx = _edge_exit(pp, v, s["in_edge"], eps)
+        active &= idx >= 0
+
+        g_t = tm.g[t]
+        vgv = _metric_dot(g_t, v, v)
+        sq_step = vgv * step * step
+        update_vector = (min_step > 0) & (sq_step > s["step_left"] * s["step_left"])
+        safe_vgv = jnp.where(vgv > 0, vgv, 1.0)
+        step = jnp.where(update_vector, s["step_left"] / jnp.sqrt(safe_vgv), step)
+
+        finish = ft < step
+        # Common advance: by ft when finishing, else by step.
+        adv = jnp.where(finish, ft, step)
+        new_p = pp + v * adv[:, None]
+        new_ft = ft - adv
+
+        # Re-sample branch (no edge crossing): stop on direction reversal
+        # (FEM.inl:957-968), else reset to the local field value.
+        vf_here = vfield[t]
+        reversal = _metric_dot(g_t, v, vf_here) * direction < 0
+        resample = active & ~finish & update_vector
+        new_v = jnp.where(resample[:, None], vf_here * direction, v)
+        new_step_left = jnp.where(resample, min_step, s["step_left"])
+        new_in_edge = jnp.where(resample, -1, s["in_edge"])
+
+        # Crossing branch (FEM.inl:970-989).
+        cross = active & ~finish & ~update_vector
+        e = t * 3 + jnp.maximum(idx, 0)
+        opp_e = tm.opp[e]
+        hit_boundary = cross & (opp_e < 0)
+        lin = tm.xform_linear[e]
+        const = tm.xform_const[e]
+        crossed_p = jnp.einsum("nab,nb->na", lin, new_p) + const
+        crossed_v = jnp.einsum("nab,nb->na", lin, new_v)
+        do_cross = cross & (opp_e >= 0)
+        new_t = jnp.where(do_cross, opp_e // 3, t)
+        new_p = jnp.where(do_cross[:, None], crossed_p, new_p)
+        new_v = jnp.where(do_cross[:, None], crossed_v, new_v)
+        new_in_edge = jnp.where(do_cross, opp_e % 3, new_in_edge)
+        new_step_left = jnp.where(do_cross, new_step_left - jnp.sqrt(jnp.maximum(sq_step, 0)),
+                                  new_step_left)
+
+        still_active = active & ~finish & ~hit_boundary & ~(resample & reversal)
+        # Inactive lanes keep their previous state frozen.
+        keep = s["active"]
+        return dict(
+            t=jnp.where(keep, new_t, s["t"]),
+            p=jnp.where(keep[:, None], new_p, s["p"]),
+            v=jnp.where(keep[:, None], new_v, s["v"]),
+            ft=jnp.where(keep, new_ft, s["ft"]),
+            step_left=jnp.where(keep, new_step_left, s["step_left"]),
+            in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
+            active=still_active,
+            count=s["count"] + 1,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    final_t = jnp.where(valid, out["t"], t_idx)
+    final_p = jnp.where(valid[:, None], out["p"], p)
+    return final_t.astype(jnp.int32), final_p
+
+
+def _whitney_vector(tm: TraceMesh, ce: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray):
+    """Whitney 1-form evaluation at a chart point (FEM.inl:1008-1014).
+
+    ce is (3T,) signed per-half-edge coefficients (ce[3t+j] = sign * c_edge).
+    """
+    c0 = ce[3 * t + 0]
+    c1 = ce[3 * t + 1]
+    c2 = ce[3 * t + 2]
+    u = c2 * (1 - p[:, 1]) - p[:, 1] * (c1 + c0)
+    w = p[:, 0] * (c0 + c2) - (1 - p[:, 0]) * c1
+    return jnp.einsum("nab,nb->na", tm.g_inv[t], jnp.stack([u, w], -1))
+
+
+def whitney_flow_trace(
+    tm: TraceMesh,
+    ce: jnp.ndarray,            # (3T,) signed half-edge Whitney coefficients
+    flow_time,
+    t_idx: jnp.ndarray,
+    p: jnp.ndarray,
+    min_step: float,
+    max_steps: int = 4096,
+    eps: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched FEM::RiemannianMesh::whitneyFlow (FEM.inl:998-1100)."""
+    dtype = p.dtype
+    n = p.shape[0]
+    flow_time = jnp.asarray(flow_time, dtype)
+    direction = jnp.where(flow_time < 0, -1.0, 1.0).astype(dtype)
+    ft0 = jnp.abs(flow_time)
+
+    valid = t_idx >= 0
+    t_safe = jnp.maximum(t_idx, 0)
+    v0 = _whitney_vector(tm, ce, t_safe, p) * direction
+    state = dict(
+        t=t_safe, p=p, v=v0,
+        ft=jnp.full(n, ft0, dtype),
+        step_left=jnp.full(n, jnp.asarray(min_step, dtype)),
+        in_edge=jnp.full(n, -1, jnp.int32),
+        active=valid & (jnp.sum(v0 * v0, -1) > 0),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["count"] < max_steps) & jnp.any(s["active"])
+
+    def body(s):
+        t, pp, v, ft = s["t"], s["p"], s["v"], s["ft"]
+        active = s["active"] & (jnp.sum(v * v, -1) > 0)
+        step, idx = _edge_exit(pp, v, s["in_edge"], eps)
+        active &= idx >= 0
+
+        g_t = tm.g[t]
+        vgv = _metric_dot(g_t, v, v)
+        sq_step = vgv * step * step
+        update_vector = (min_step > 0) & (sq_step > s["step_left"] * s["step_left"])
+        safe_vgv = jnp.where(vgv > 0, vgv, 1.0)
+        step = jnp.where(update_vector, s["step_left"] / jnp.sqrt(safe_vgv), step)
+
+        finish = ft < step
+        adv = jnp.where(finish, ft, step)
+        new_p = pp + v * adv[:, None]
+        new_ft = ft - adv
+
+        vf_here = _whitney_vector(tm, ce, t, new_p)
+        reversal = _metric_dot(g_t, v, vf_here) * direction < 0
+        resample = active & ~finish & update_vector
+        new_v = jnp.where(resample[:, None], vf_here * direction, v)
+        new_step_left = jnp.where(resample, min_step, s["step_left"])
+        new_in_edge = jnp.where(resample, -1, s["in_edge"])
+
+        cross = active & ~finish & ~update_vector
+        e = t * 3 + jnp.maximum(idx, 0)
+        opp_e = tm.opp[e]
+        hit_boundary = cross & (opp_e < 0)
+        lin = tm.xform_linear[e]
+        const = tm.xform_const[e]
+        crossed_p = jnp.einsum("nab,nb->na", lin, new_p) + const
+        crossed_v = jnp.einsum("nab,nb->na", lin, new_v)
+        do_cross = cross & (opp_e >= 0)
+        new_t = jnp.where(do_cross, opp_e // 3, t)
+        new_p = jnp.where(do_cross[:, None], crossed_p, new_p)
+        new_v = jnp.where(do_cross[:, None], crossed_v, new_v)
+        new_in_edge = jnp.where(do_cross, opp_e % 3, new_in_edge)
+        new_step_left = jnp.where(do_cross, new_step_left - jnp.sqrt(jnp.maximum(sq_step, 0)),
+                                  new_step_left)
+
+        still_active = active & ~finish & ~hit_boundary & ~(resample & reversal)
+        keep = s["active"]
+        return dict(
+            t=jnp.where(keep, new_t, s["t"]),
+            p=jnp.where(keep[:, None], new_p, s["p"]),
+            v=jnp.where(keep[:, None], new_v, s["v"]),
+            ft=jnp.where(keep, new_ft, s["ft"]),
+            step_left=jnp.where(keep, new_step_left, s["step_left"]),
+            in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
+            active=still_active,
+            count=s["count"] + 1,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    final_t = jnp.where(valid, out["t"], t_idx)
+    final_p = jnp.where(valid[:, None], out["p"], p)
+    return final_t.astype(jnp.int32), final_p
+
+
+def exp_map(
+    tm: TraceMesh,
+    t_idx: jnp.ndarray,   # (N,) int32
+    p: jnp.ndarray,       # (N, 2)
+    v: jnp.ndarray,       # (N, 2) displacement in the starting chart
+    max_steps: int = 1024,
+    eps: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched FEM::RiemannianMesh::exp (FEM.inl:834-899): straight-line
+    geodesic carrying the remaining displacement across charts."""
+    n = p.shape[0]
+    valid = t_idx >= 0
+    t = jnp.maximum(t_idx, 0)
+    in_edge = jnp.full(n, -1, jnp.int32)
+    active = valid & (jnp.sum(v * v, -1) > 0)
+
+    # Starting-point-on-edge pre-step (FEM.inl:843-858).
+    idx = jnp.full(n, -1, jnp.int32)
+    idx = jnp.where((p[:, 0] <= 0) & (v[:, 0] < 0), 1, idx)
+    idx = jnp.where((idx == -1) & (p[:, 1] <= 0) & (v[:, 1] < 0), 2, idx)
+    idx = jnp.where((idx == -1) & (p[:, 0] + p[:, 1] >= 1) & (v[:, 0] + v[:, 1] > 0), 0, idx)
+    pre = active & (idx != -1)
+    e = t * 3 + jnp.maximum(idx, 0)
+    opp_e = tm.opp[e]
+    pre &= opp_e >= 0
+    lin, const = tm.xform_linear[e], tm.xform_const[e]
+    t = jnp.where(pre, opp_e // 3, t)
+    p = jnp.where(pre[:, None], jnp.einsum("nab,nb->na", lin, p) + const, p)
+    v = jnp.where(pre[:, None], jnp.einsum("nab,nb->na", lin, v), v)
+    in_edge = jnp.where(pre, opp_e % 3, in_edge)
+
+    state = dict(t=t, p=p, v=v, in_edge=in_edge, active=active,
+                 count=jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        return (s["count"] < max_steps) & jnp.any(s["active"])
+
+    def body(s):
+        t, pp, v = s["t"], s["p"], s["v"]
+        active = s["active"]
+        step, idx = _edge_exit(pp, v, s["in_edge"], eps)
+        active &= idx >= 0
+
+        finish = step > 1  # endpoint inside the triangle (FEM.inl:881-885)
+        new_p = jnp.where(finish[:, None], pp + v, pp + v * step[:, None])
+        new_v = jnp.where(finish[:, None], jnp.zeros_like(v), v * (1 - step)[:, None])
+
+        e = t * 3 + jnp.maximum(idx, 0)
+        opp_e = tm.opp[e]
+        cross = active & ~finish & (opp_e >= 0)
+        lin, const = tm.xform_linear[e], tm.xform_const[e]
+        new_t = jnp.where(cross, opp_e // 3, t)
+        crossed_p = jnp.einsum("nab,nb->na", lin, new_p) + const
+        crossed_v = jnp.einsum("nab,nb->na", lin, new_v)
+        new_p = jnp.where(cross[:, None], crossed_p, new_p)
+        new_v = jnp.where(cross[:, None], crossed_v, new_v)
+        new_in_edge = jnp.where(cross, opp_e % 3, s["in_edge"])
+
+        keep = s["active"]
+        return dict(
+            t=jnp.where(keep, new_t, s["t"]),
+            p=jnp.where(keep[:, None], new_p, s["p"]),
+            v=jnp.where(keep[:, None], new_v, s["v"]),
+            in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
+            active=active & ~finish & (opp_e >= 0),
+            count=s["count"] + 1,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    final_t = jnp.where(valid, out["t"], t_idx)
+    final_p = jnp.where(valid[:, None], out["p"], p)
+    return final_t.astype(jnp.int32), final_p

@@ -1,0 +1,167 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.geometry.mesh import build_mesh
+from meshopticalflow_tpu.kernels import (
+    TraceMesh, make_trace_mesh, flow_field_trace, whitney_flow_trace, exp_map,
+    resample_signal, sample_texture_bilinear,
+)
+from tests.conftest import make_grid_mesh, make_sphere_mesh
+
+
+def _chart_frames(tris, verts):
+    """Per-triangle chart->embedding frames E = [v1-v0 | v2-v0]."""
+    p = verts[tris]
+    return np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=-1)  # (T, 3, 2)
+
+
+def _embed(tris, verts, t, p):
+    v = verts[tris[t]]
+    return v[:, 0] * (1 - p[:, 0] - p[:, 1])[:, None] + v[:, 1] * p[:, 0:1] + v[:, 2] * p[:, 1:2]
+
+
+@pytest.fixture(scope="module")
+def flat():
+    tris, verts = make_grid_mesh(8)
+    mesh = build_mesh(tris, vertices=verts, make_unit_area=False)
+    return tris, verts, mesh, make_trace_mesh(mesh, dtype=jnp.float64)
+
+
+def test_zero_field_is_identity(flat):
+    tris, verts, mesh, tm = flat
+    t0 = jnp.arange(mesh.n_triangles, dtype=jnp.int32)
+    p0 = jnp.full((mesh.n_triangles, 2), 1 / 3, jnp.float64)
+    vf = jnp.zeros((mesh.n_triangles, 2), jnp.float64)
+    t1, p1 = flow_field_trace(tm, vf, 0.5, t0, p0, min_step=1e-2)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0))
+
+
+def test_constant_field_flat_mesh_translates(flat):
+    """On a flat mesh a constant embedded field flows points in a straight
+    line: endpoint = start + w * time."""
+    tris, verts, mesh, tm = flat
+    w = np.array([0.31, 0.17])
+    frames = _chart_frames(tris, verts)[:, :2, :]  # embedding is planar: drop z
+    vf = np.linalg.solve(frames, np.broadcast_to(w, (len(tris), 2))[..., None])[..., 0]
+    # Start from interior triangles so the path stays inside the domain.
+    centers = _embed(tris, verts, np.arange(len(tris)), np.full((len(tris), 2), 1 / 3))
+    inner = np.nonzero((centers[:, 0] > 0.35) & (centers[:, 0] < 0.6)
+                       & (centers[:, 1] > 0.35) & (centers[:, 1] < 0.6))[0]
+    t0 = jnp.asarray(inner, jnp.int32)
+    p0 = jnp.full((len(inner), 2), 1 / 3, jnp.float64)
+    ft = 0.9
+    t1, p1 = flow_field_trace(tm, jnp.asarray(vf), ft, t0, p0, min_step=1e-2)
+    end = _embed(tris, verts, np.asarray(t1), np.asarray(p1))
+    expect = centers[inner][:, :2] + w * ft
+    np.testing.assert_allclose(end[:, :2], expect, atol=1e-9)
+    # And the negative-time flow goes the other way.
+    t2, p2 = flow_field_trace(tm, jnp.asarray(vf), -ft, t0, p0, min_step=1e-2)
+    end2 = _embed(tris, verts, np.asarray(t2), np.asarray(p2))
+    np.testing.assert_allclose(end2[:, :2], centers[inner][:, :2] - w * ft, atol=1e-9)
+
+
+def test_flow_round_trip_sphere():
+    """Flow t then -t returns to the start (within tracing tolerance)."""
+    tris, verts = make_sphere_mesh(3)
+    mesh = build_mesh(tris, vertices=verts)
+    tm = make_trace_mesh(mesh, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    # A smooth-ish tangent field: project a fixed rotation field to charts.
+    frames3 = _chart_frames(tris, verts)            # (T, 3, 2)
+    centers = verts[tris].mean(1)
+    embedded = np.cross(np.broadcast_to([0.0, 0.0, 1.0], centers.shape), centers)
+    # Least-squares chart coordinates of the tangential part.
+    vf = np.linalg.solve(
+        np.einsum("tia,tib->tab", frames3, frames3),
+        np.einsum("tia,ti->ta", frames3, embedded)[..., None])[..., 0]
+    scale = 0.05 / np.abs(vf).max()
+    vf = jnp.asarray(vf * scale)
+    t0 = jnp.arange(mesh.n_triangles, dtype=jnp.int32)
+    p0 = jnp.full((mesh.n_triangles, 2), 1 / 3, jnp.float64)
+    ft = 0.4
+    t1, p1 = flow_field_trace(tm, vf, ft, t0, p0, min_step=1e-3)
+    t2, p2 = flow_field_trace(tm, vf, -ft, t1, p1, min_step=1e-3)
+    start = _embed(tris, verts, np.asarray(t0), np.asarray(p0))
+    end = _embed(tris, verts, np.asarray(t2), np.asarray(p2))
+    err = np.linalg.norm(start - end, axis=1)
+    # min_step resampling discretizes the path; tolerance reflects that.
+    assert np.median(err) < 2e-3
+    assert err.max() < 5e-2
+
+
+def test_whitney_flow_constant_form(flat):
+    """A constant 1-form's Whitney coefficients reproduce the constant field."""
+    tris, verts, mesh, tm = flat
+    w = np.array([0.23, -0.11])
+    corners = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    frames = _chart_frames(tris, verts)[:, :2, :]
+    ce = np.zeros(3 * len(tris))
+    for j in range(3):
+        chart_edge = corners[(j + 2) % 3] - corners[(j + 1) % 3]
+        emb_edge = frames @ chart_edge
+        ce[3 * np.arange(len(tris)) + j] = emb_edge @ w
+    vf_expect = np.linalg.solve(frames, np.broadcast_to(w, (len(tris), 2))[..., None])[..., 0]
+
+    centers = _embed(tris, verts, np.arange(len(tris)), np.full((len(tris), 2), 1 / 3))
+    inner = np.nonzero((centers[:, 0] > 0.2) & (centers[:, 0] < 0.35)
+                       & (centers[:, 1] > 0.3) & (centers[:, 1] < 0.5))[0]
+    t0 = jnp.asarray(inner, jnp.int32)
+    p0 = jnp.full((len(inner), 2), 1 / 3, jnp.float64)
+    ft = 0.7
+    t1, p1 = whitney_flow_trace(tm, jnp.asarray(ce), ft, t0, p0, min_step=1e-2)
+    end = _embed(tris, verts, np.asarray(t1), np.asarray(p1))
+    np.testing.assert_allclose(end[:, :2], centers[inner][:, :2] + w * ft, atol=1e-9)
+
+
+def test_exp_map_flat_straight_line(flat):
+    tris, verts, mesh, tm = flat
+    centers = _embed(tris, verts, np.arange(len(tris)), np.full((len(tris), 2), 1 / 3))
+    inner = np.nonzero((np.abs(centers[:, 0] - 0.4) < 0.15) & (np.abs(centers[:, 1] - 0.4) < 0.15))[0]
+    frames = _chart_frames(tris, verts)[inner, :2, :]
+    w = np.array([0.21, -0.13])
+    v = np.linalg.solve(frames, np.broadcast_to(w, (len(inner), 2))[..., None])[..., 0]
+    t0 = jnp.asarray(inner, jnp.int32)
+    p0 = jnp.full((len(inner), 2), 1 / 3, jnp.float64)
+    t1, p1 = exp_map(tm, t0, p0, jnp.asarray(v))
+    end = _embed(tris, verts, np.asarray(t1), np.asarray(p1))
+    np.testing.assert_allclose(end[:, :2], centers[inner][:, :2] + w, atol=1e-9)
+
+
+def test_resample_signal_zero_field_matches_numpy(flat):
+    tris, verts, mesh, tm = flat
+    rng = np.random.default_rng(1)
+    sig = rng.normal(size=(mesh.n_vertices, 3))
+    out = np.asarray(resample_signal(tm, jnp.zeros((mesh.n_triangles, 2)),
+                                     jnp.asarray(sig), 0.5))
+    # Direct: out[v] = mean over incident triangles of the barycenter sample.
+    expect = np.zeros_like(sig)
+    counts = np.zeros(mesh.n_vertices)
+    for t in range(mesh.n_triangles):
+        c = sig[tris[t]].mean(0)
+        for j in range(3):
+            expect[tris[t][j]] += c
+            counts[tris[t][j]] += 1
+    expect /= counts[:, None]
+    np.testing.assert_allclose(out, expect, atol=1e-12)
+
+
+def test_sample_texture_bilinear_reference_semantics():
+    rng = np.random.default_rng(2)
+    tex = rng.uniform(0, 255, (5, 7, 3))
+    uv = rng.uniform(-0.1, 1.1, (50, 2))
+    got = np.asarray(sample_texture_bilinear(jnp.asarray(tex), jnp.asarray(uv)))
+    h, w = tex.shape[:2]
+    for i in range(50):
+        p = uv[i].copy()
+        p[1] = 1 - p[1]
+        p = np.clip(p, 0, 1)
+        x, y = p[0] * (w - 1), p[1] * (h - 1)
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        dx, dy = x - x0, y - y0
+        x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+        expect = (tex[y0, x0] * (1 - dx) * (1 - dy) + tex[y0, x1] * dx * (1 - dy)
+                  + tex[y1, x1] * dx * dy + tex[y1, x0] * (1 - dx) * dy)
+        np.testing.assert_allclose(got[i], expect, atol=1e-9)
