@@ -1,0 +1,311 @@
+"""End-to-end surface optical-flow pipeline (the OpticalFlow app's engine).
+
+Rebuilds the reference driver (OpticalFlow/OpticalFlow.cpp):
+  * init (WhitneyFlowViewer::Init, :679-917): load inputs, subdivide, build
+    the intrinsic mesh + EdgeXForm tables, bake textures to vertex signals,
+    rasterize the texel sample table, preprocess comparison signals
+    (log space / DoG bands), build the vector-field basis;
+  * per-level UpdateFlow (:423-474): smooth -> advect +-1/2 -> data term ->
+    regularized Gauss-Newton step (one jitted device function per level);
+  * IterativeOptimization (:1035-1056): coarse-to-fine weight schedule,
+    final advection of the original inputs to the halfway point and blend.
+
+Device work is a single jitted level function; the Python loop only carries
+the (coeffs, tfield, weights) schedule. Host work (mesh building, scipy
+operator assembly, rasterization) happens once at init.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.config import FlowConfig
+from meshopticalflow_tpu.geometry.mesh import HostMesh, build_mesh
+from meshopticalflow_tpu.geometry.rasterize import TextureSource, rasterize_texture_source
+from meshopticalflow_tpu.geometry.subdivide import subdivide_textured_mesh
+from meshopticalflow_tpu.io.ply import read_triangle_mesh, write_ply_colored
+from meshopticalflow_tpu.io.png import read_png_rgb, write_png_rgb
+from meshopticalflow_tpu.kernels.advect import (
+    advect_texture, resample_signal, sample_texture_bilinear, sample_vertex_signal)
+from meshopticalflow_tpu.kernels.tracing import TraceMesh, exp_map, flow_field_trace, make_trace_mesh
+from meshopticalflow_tpu.models.base import BasisDevice, build_basis, update_optical_flow
+from meshopticalflow_tpu.ops.dataterm import data_term_blocks
+from meshopticalflow_tpu.ops.ell import ell_matvec
+from meshopticalflow_tpu.flow.signal import (
+    SmoothingOperators, dog_band, log_space, make_smoothing_operators, smooth_signal)
+
+
+@dataclasses.dataclass
+class FlowResult:
+    coeffs: np.ndarray
+    tfield: np.ndarray            # (T, 2) final flow field
+    metrics: List[Dict]           # per-level metrics
+
+
+def _host_sample_texture(texture: np.ndarray, uv: np.ndarray, bilinear: bool) -> np.ndarray:
+    """numpy clone of the reference texture fetch (MeshFlow.inl:65-84)."""
+    h, w = texture.shape[:2]
+    tex = texture.astype(np.float64)
+    x = np.clip(uv[:, 0], 0, 1) * (w - 1)
+    y = np.clip(1.0 - uv[:, 1], 0, 1) * (h - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    if not bilinear:
+        return tex[y0, x0]
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    dx, dy = (x - x0)[:, None], (y - y0)[:, None]
+    return (tex[y0, x0] * (1 - dx) * (1 - dy) + tex[y0, x1] * dx * (1 - dy)
+            + tex[y1, x1] * dx * dy + tex[y1, x0] * (1 - dx) * dy)
+
+
+def sample_texture_to_vertices(triangles: np.ndarray, uvs: np.ndarray,
+                               texture: np.ndarray, n_vertices: int,
+                               bilinear: bool = True) -> np.ndarray:
+    """Per-wedge texture average into vertex colors (MeshFlow.inl:251-266)."""
+    samples = _host_sample_texture(texture, uvs.reshape(-1, 2), bilinear)
+    colors = np.zeros((n_vertices, 3))
+    counts = np.zeros(n_vertices)
+    np.add.at(colors, triangles.ravel(), samples)
+    np.add.at(counts, triangles.ravel(), 1.0)
+    return colors / np.maximum(counts, 1)[:, None]
+
+
+class FlowProblem:
+    """A prepared optical-flow problem: device arrays + jitted level step."""
+
+    def __init__(
+        self,
+        config: FlowConfig,
+        mesh: HostMesh,
+        signals: np.ndarray,               # (2, V, C) comparison signals
+        vertices: Optional[np.ndarray] = None,
+        # texture mode:
+        texture_source: Optional[TextureSource] = None,
+        tri_uvs: Optional[np.ndarray] = None,
+        textures: Optional[np.ndarray] = None,   # (2, H, W, 3) uint8
+        # per-vertex mode:
+        vertex_colors: Optional[np.ndarray] = None,  # (2, V, 3)
+    ):
+        self.config = config
+        self.mesh = mesh
+        dtype = jnp.dtype(config.dtype)
+        self.dtype = dtype
+        self.tm = make_trace_mesh(mesh, dtype)
+        self.smooth_ops = make_smoothing_operators(mesh, dtype)
+        self.basis_host, self.basis = build_basis(mesh, config)
+        self.vertices = vertices
+
+        sig = jnp.asarray(signals, dtype)            # (2, V, C)
+        # Comparison-signal preprocessing (OpticalFlow.cpp:820-857).
+        if config.log_space:
+            sig = log_space(sig)
+        if config.dog_weight > 0:
+            bands = jnp.stack([
+                dog_band(self.smooth_ops, sig[s], config.dog_smooth) for s in range(2)])
+            if config.channels == 6:
+                sig = jnp.concatenate([sig * (1.0 - config.dog_weight),
+                                       bands * config.dog_weight], axis=2)
+            else:
+                sig = bands
+        self.signals = sig                           # (2, V, C)
+
+        self.area = jnp.asarray(mesh.area, dtype)
+        self.texture_source = texture_source
+        self.textures = None if textures is None else jnp.asarray(textures, dtype)
+        self.tri_uvs = None if tri_uvs is None else jnp.asarray(tri_uvs, dtype)
+        self.vertex_colors = None if vertex_colors is None else jnp.asarray(vertex_colors, dtype)
+        if texture_source is not None:
+            self.src_t = jnp.asarray(texture_source.tri_idx)
+            self.src_p = jnp.asarray(texture_source.bary, dtype)
+
+        self._level_step = jax.jit(functools.partial(self._level_step_impl))
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_texture_inputs(cls, mesh_path: str, texture_paths: Tuple[str, str],
+                            config: FlowConfig) -> "FlowProblem":
+        """Texture-pair alignment setup (WhitneyFlowViewer::Init texture
+        branch, OpticalFlow.cpp:684-752 + 818)."""
+        data = read_triangle_mesh(mesh_path)
+        if data.face_uvs is None:
+            raise ValueError(f"{mesh_path} has no texture coordinates")
+        diag = float(np.linalg.norm(data.vertices.max(0) - data.vertices.min(0)))
+        tris, verts, uvs = data.faces, data.vertices, data.face_uvs
+        edge_len = config.subdivide_edge_length * diag
+        if edge_len > 0:
+            tris, verts, uvs = subdivide_textured_mesh(tris, verts, uvs, edge_len)
+        tex0 = read_png_rgb(texture_paths[0])
+        tex1 = read_png_rgb(texture_paths[1])
+        if tex0.shape != tex1.shape:
+            raise ValueError(f"texture shapes differ: {tex0.shape} vs {tex1.shape}")
+        n_vertices = int(tris.max()) + 1
+        signals = np.stack([
+            sample_texture_to_vertices(tris, uvs, t, n_vertices, not config.nearest)
+            for t in (tex0, tex1)])
+        mesh = build_mesh(tris, vertices=verts)
+        h, w = tex0.shape[:2]
+        src = rasterize_texture_source(uvs, w, h, config.pad_radius)
+        problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
+                      tri_uvs=uvs, textures=np.stack([tex0, tex1]))
+        problem._exp_remap_texels()
+        return problem
+
+    @classmethod
+    def from_vertex_inputs(cls, path0: str, path1: str, config: FlowConfig) -> "FlowProblem":
+        """Colored-PLY-pair setup (OpticalFlow.cpp:753-780): identical
+        connectivity required; geometry is the average of the two."""
+        m0 = read_triangle_mesh(path0)
+        m1 = read_triangle_mesh(path1)
+        if m0.vertices.shape != m1.vertices.shape:
+            raise ValueError("vertex counts differ")
+        if not np.array_equal(m0.faces, m1.faces):
+            raise ValueError("triangle indices do not match")
+        if m0.colors is None or m1.colors is None:
+            raise ValueError("inputs must carry per-vertex colors")
+        verts = (m0.vertices + m1.vertices) * 0.5
+        mesh = build_mesh(m0.faces, vertices=verts)
+        signals = np.stack([m0.colors, m1.colors])
+        return cls(config, mesh, signals, vertices=verts,
+                   vertex_colors=np.stack([m0.colors, m1.colors]))
+
+    def _exp_remap_texels(self) -> None:
+        """Push out-of-triangle texels through the geodesic exp
+        (RemapSamplePoint, MeshFlow.inl:339-350)."""
+        src = self.texture_source
+        mask = src.needs_remap
+        if not mask.any():
+            return
+        idx = np.nonzero(mask)[0]
+        t0 = jnp.asarray(src.tri_idx[idx])
+        center = jnp.full((len(idx), 2), 1.0 / 3.0, self.dtype)
+        v = jnp.asarray(src.bary[idx], self.dtype) - center
+        t1, p1 = exp_map(self.tm, t0, center, v)
+        tri_idx = src.tri_idx.copy()
+        bary = src.bary.copy()
+        tri_idx[idx] = np.asarray(t1)
+        bary[idx] = np.asarray(p1)
+        self.texture_source = dataclasses.replace(src, tri_idx=tri_idx, bary=bary)
+        self.src_t = jnp.asarray(tri_idx)
+        self.src_p = jnp.asarray(bary, self.dtype)
+
+    # ------------------------------------------------------------------
+    # Per-level update (UpdateFlow, OpticalFlow.cpp:423-474)
+    # ------------------------------------------------------------------
+
+    def _level_step_impl(self, coeffs, tfield, s_weight, v_weight):
+        cfg = self.config
+        v_count = self.signals.shape[1]
+        c = self.signals.shape[2]
+        # Smooth both signals in one batched solve (SMOOTH_FIRST path).
+        stacked = jnp.concatenate([self.signals[0], self.signals[1]], axis=1)  # (V, 2C)
+        smoothed, sm_stats = smooth_signal(self.smooth_ops, stacked, s_weight,
+                                           tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
+        res0 = resample_signal(self.tm, tfield, smoothed[:, :c], -0.5,
+                               cfg.flow_min_step, cfg.flow_max_steps)
+        res1 = resample_signal(self.tm, tfield, smoothed[:, c:], +0.5,
+                               cfg.flow_min_step, cfg.flow_max_steps)
+        d_blocks, rhs_t = data_term_blocks(self.tm.triangles, self.area, res0, res1)
+        new_coeffs, new_tfield, cg_stats = update_optical_flow(
+            self.basis, coeffs, d_blocks, rhs_t, v_weight,
+            cg_tol=cfg.cg_tol, cg_max_iters=cfg.cg_max_iters)
+        # Alignment error diagnostic (the disabled block at
+        # OpticalFlow.cpp:1012-1023): mass-weighted residual of the
+        # resampled signals.
+        diff = res1 - res0
+        mdiff = ell_matvec(self.smooth_ops.cols, self.smooth_ops.mass_vals, diff)
+        align_err = jnp.sum(diff * mdiff)
+        return new_coeffs, new_tfield, dict(
+            smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
+            flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
+            alignment_error=align_err)
+
+    # ------------------------------------------------------------------
+    # Outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056)
+    # ------------------------------------------------------------------
+
+    def run(self, verbose: bool = False) -> FlowResult:
+        cfg = self.config
+        t_count = self.mesh.n_triangles
+        coeffs = jnp.zeros(self.basis.n_coeffs, self.dtype)
+        tfield = jnp.zeros((t_count, 2), self.dtype)
+        s_weight = cfg.scalar_smooth_weight
+        v_weight = cfg.resolved_vf_smooth_weight()
+        metrics: List[Dict] = []
+        for level in range(cfg.levels):
+            t0 = time.time()
+            coeffs, tfield, stats = self._level_step(
+                coeffs, tfield, jnp.asarray(s_weight, self.dtype),
+                jnp.asarray(v_weight, self.dtype))
+            stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+            stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
+                         seconds=time.time() - t0)
+            metrics.append(stats)
+            if verbose:
+                print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                                  for k, v in stats.items()}))
+            s_weight *= cfg.scalar_weight_multiplier
+            if v_weight * cfg.vf_weight_multiplier > cfg.vf_smooth_weight_threshold:
+                v_weight = v_weight * cfg.vf_weight_multiplier
+        self.coeffs, self.tfield = coeffs, tfield
+        return FlowResult(np.asarray(coeffs), np.asarray(tfield), metrics)
+
+    # ------------------------------------------------------------------
+    # Final outputs
+    # ------------------------------------------------------------------
+
+    def advected_vertex_colors(self, alpha: float = 0.5) -> np.ndarray:
+        """Advect the original input colors to the halfway point
+        (InputGeometryData::flow, OpticalFlow.cpp:476-490). Returns (2, V, 3)."""
+        cfg = self.config
+        outs = []
+        for s in range(2):
+            length = -alpha if s == 0 else 1.0 - alpha
+            outs.append(resample_signal(self.tm, self.tfield, self.vertex_colors[s],
+                                        length, cfg.flow_min_step, cfg.flow_max_steps))
+        return np.stack([np.asarray(o) for o in outs])
+
+    def advected_textures(self, alpha: float = 0.5) -> np.ndarray:
+        """Advect both textures to the halfway point
+        (InputTextureData::flow, OpticalFlow.cpp:501-515). Returns (2, H, W, 3)
+        in uv-space row order (row 0 = v=0); unclaimed texels keep the input."""
+        cfg = self.config
+        src = self.texture_source
+        h, w = src.height, src.width
+        outs = []
+        for s in range(2):
+            length = -alpha if s == 0 else 1.0 - alpha
+            colors = advect_texture(
+                self.tm, self.tfield, self.tri_uvs, self.textures[s],
+                self.src_t, self.src_p, length,
+                cfg.flow_min_step, cfg.flow_max_steps, bilinear=not cfg.nearest)
+            # Unclaimed texels fall back to the (v-flipped) input texture
+            # (Init seeds inputAdvectedTexture with the input, OpticalFlow.cpp:887-889).
+            base = jnp.flipud(self.textures[s]).reshape(-1, 3)
+            out = jnp.where((self.src_t >= 0)[:, None], colors, base)
+            outs.append(out.reshape(h, w, 3))
+        return np.stack([np.asarray(o) for o in outs])
+
+    def write_output(self, path: str, alpha: float = 0.5) -> None:
+        """Blend the two advected inputs and write (IterativeOptimization
+        output, OpticalFlow.cpp:1044-1055)."""
+        if self.texture_source is not None:
+            adv = self.advected_textures(alpha)
+            blend = (adv[0] + adv[1]) / 2.0
+            write_png_rgb(path, np.flipud(blend))  # flipY (OpticalFlow.cpp:1047)
+        else:
+            adv = self.advected_vertex_colors(alpha)
+            blend = (adv[0] + adv[1]) / 2.0
+            write_ply_colored(path, self.vertices, blend, self.mesh.triangles, fmt="ascii")

@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode
+from meshopticalflow_tpu.flow.pipeline import FlowProblem, sample_texture_to_vertices
+from meshopticalflow_tpu.flow.signal import dog_band, make_smoothing_operators, smooth_signal
+from meshopticalflow_tpu.geometry.mesh import build_mesh
+from meshopticalflow_tpu.io.ply import write_ply_colored
+from tests.conftest import make_sphere_mesh
+
+
+def _sphere_signal_pair(subdiv=2, angle=0.12):
+    """Two signals on a sphere: f and f pulled back by a small z-rotation."""
+    tris, verts = make_sphere_mesh(subdiv)
+
+    def f(p):
+        return np.stack([
+            128 + 100 * np.sin(3 * p[:, 0]) * np.cos(2 * p[:, 1]),
+            128 + 100 * np.cos(3 * p[:, 1] + 1) * p[:, 2],
+            128 + 100 * np.sin(2 * p[:, 2] + 0.5),
+        ], axis=1)
+
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return tris, verts, f(verts), f(verts @ rot.T)
+
+
+def test_smooth_signal_matches_scipy():
+    import scipy.sparse.linalg as spla
+    from meshopticalflow_tpu.ops.assemble import scalar_mass_csr, scalar_stiffness_csr
+    tris, verts = make_sphere_mesh(2)
+    mesh = build_mesh(tris, vertices=verts)
+    ops = make_smoothing_operators(mesh, jnp.float64)
+    rng = np.random.default_rng(0)
+    sig = rng.uniform(0, 255, (mesh.n_vertices, 3))
+    w = 3e-3
+    out, _ = smooth_signal(ops, jnp.asarray(sig), w, tol=1e-12, max_iters=5000)
+    m = scalar_mass_csr(mesh)
+    k = scalar_stiffness_csr(mesh)
+    expect = spla.spsolve((m + w * k).tocsc(), m @ sig)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-8)
+
+
+def test_dog_band_preserves_mean_and_variance():
+    tris, verts = make_sphere_mesh(2)
+    mesh = build_mesh(tris, vertices=verts)
+    ops = make_smoothing_operators(mesh, jnp.float64)
+    rng = np.random.default_rng(1)
+    sig = jnp.asarray(rng.uniform(0, 255, (mesh.n_vertices, 3)))
+    band = dog_band(ops, sig, 1e-4, tol=1e-12)
+    from meshopticalflow_tpu.flow.signal import integral
+    from meshopticalflow_tpu.ops.ell import ell_matvec
+    # Renormalization restores the original mean and mass-variance
+    # (OpticalFlow.cpp:830-853).
+    np.testing.assert_allclose(np.asarray(integral(ops, band)),
+                               np.asarray(integral(ops, sig)), rtol=1e-6)
+    def var(x):
+        b = ell_matvec(ops.cols, ops.mass_vals, x)
+        a = integral(ops, x)
+        return np.asarray(jnp.einsum("vc,vc->c", x, b)) - np.asarray(a) ** 2
+    np.testing.assert_allclose(var(band), var(sig), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", [VectorFieldMode.WHITNEY, VectorFieldMode.CONNECTION])
+def test_vertex_pipeline_reduces_alignment_error(tmp_path, mode):
+    tris, verts, sig0, sig1 = _sphere_signal_pair()
+    # Write the colored pair to PLY and run through the public entry point.
+    p0, p1 = str(tmp_path / "a.ply"), str(tmp_path / "b.ply")
+    write_ply_colored(p0, verts, sig0, tris)
+    write_ply_colored(p1, verts, sig1, tris)
+    cfg = FlowConfig(vf_mode=mode, levels=4, dtype="float64",
+                     dog_weight=0.0, cg_tol=1e-10, cg_max_iters=4000)
+    prob = FlowProblem.from_vertex_inputs(p0, p1, cfg)
+    res = prob.run()
+    errs = [m["alignment_error"] for m in res.metrics]
+    assert errs[-1] < errs[0] * 0.55, errs
+    assert np.isfinite(res.tfield).all()
+    out = str(tmp_path / "out.ply")
+    prob.write_output(out)
+    from meshopticalflow_tpu.io.ply import read_triangle_mesh
+    m = read_triangle_mesh(out)
+    assert m.colors is not None and np.isfinite(m.colors).all()
+
+
+def test_texture_pipeline_smoke(tmp_path):
+    """Tiny synthetic uv atlas: a shifted blob pair aligns toward halfway."""
+    from meshopticalflow_tpu.io.ply import write_ply_textured
+    from meshopticalflow_tpu.io.png import write_png_rgb
+    n = 9
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = i * n + j, (i + 1) * n + j, (i + 1) * n + j + 1, i * n + j + 1
+            tris += [[a, b, c], [a, c, d]]
+    tris = np.array(tris, np.int32)
+    uvs = verts[tris][:, :, :2]
+
+    size = 48
+    uu, vv = np.meshgrid(np.arange(size) / (size - 1), np.arange(size) / (size - 1),
+                         indexing="xy")
+
+    def blob(cx, cy):
+        img = 255 * np.exp(-(((uu - cx) ** 2 + (vv - cy) ** 2) / 0.02))
+        # row 0 of a PNG is top = v=1: flip.
+        return np.flipud(np.stack([img] * 3, -1)).astype(np.uint8)
+
+    mesh_path = str(tmp_path / "mesh.ply")
+    a_path, b_path = str(tmp_path / "A.png"), str(tmp_path / "B.png")
+    write_ply_textured(mesh_path, verts, tris, uvs)
+    write_png_rgb(a_path, blob(0.42, 0.5))
+    write_png_rgb(b_path, blob(0.58, 0.5))
+
+    cfg = FlowConfig(levels=4, dtype="float64", dog_weight=0.0,
+                     subdivide_edge_length=0.0, scalar_smooth_weight=1e-3,
+                     vf_smooth_weight=1e-5, cg_tol=1e-9, cg_max_iters=3000)
+    prob = FlowProblem.from_texture_inputs(mesh_path, (a_path, b_path), cfg)
+    res = prob.run()
+    errs = [m["alignment_error"] for m in res.metrics]
+    assert errs[-1] < errs[0] * 0.7, errs
+    out_path = str(tmp_path / "out.png")
+    prob.write_output(out_path)
+    from meshopticalflow_tpu.io.png import read_png_rgb
+    out = read_png_rgb(out_path).astype(np.float64)
+    # The aligned blend's peak should sit near the halfway center (0.5, 0.5),
+    # and be brighter than the naive linear blend's double-bump.
+    naive = (blob(0.42, 0.5).astype(np.float64) + blob(0.58, 0.5)) / 2
+    assert out.max() > naive.max() + 10
