@@ -1,0 +1,79 @@
+"""Spectrum CLI — rebuild of the reference Spectrum app (Spectrum/Spectrum.cpp).
+
+Computes the lowest-k eigenpairs of the vector-field Laplacian (the basis
+smoothness operator against the vector-field mass) and writes
+``eigenvector-%03d.bin`` dumps byte-compatible with the reference
+(Spectrum.cpp:191-195). The GLUT viewer is out of scope; use --outPrefix to
+choose where the binaries go.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from meshopticalflow_tpu.config import ConnectionMode, FlowConfig, VectorFieldMode
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="Spectrum",
+                                description="Vector-field Laplacian spectrum (TPU)")
+    p.add_argument("--mesh", required=True, help="input geometry (.ply)")
+    p.add_argument("--vfMode", type=int, default=0)
+    p.add_argument("--cMode", type=int, default=0)
+    p.add_argument("--eigenVectors", type=int, default=20)
+    p.add_argument("--eLength", type=float, default=0.0)
+    p.add_argument("--edgeMetric", action="store_true",
+                   help="metric from per-face squared edge lengths (PlyMetricFace)")
+    p.add_argument("--outPrefix", default="", help="output directory/prefix for the dumps")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_mesh
+    from meshopticalflow_tpu.io.binio import write_vector
+    from meshopticalflow_tpu.io.ply import read_triangle_mesh
+    from meshopticalflow_tpu.models.base import build_basis
+    from meshopticalflow_tpu.ops.assemble import vector_field_mass_blocks
+    from meshopticalflow_tpu.solvers.lanczos import compute_spectrum
+
+    data = read_triangle_mesh(args.mesh)
+    tris, verts = data.faces, data.vertices
+    if args.edgeMetric:
+        if data.face_metric is None:
+            print("[ERROR] --edgeMetric requires square_length face properties", file=sys.stderr)
+            return 1
+        mesh = build_mesh(tris, square_edge_lengths=data.face_metric)
+    else:
+        if args.eLength > 0:
+            diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+            tris, verts = subdivide_mesh(tris, verts, args.eLength * diag)
+        mesh = build_mesh(tris, vertices=verts)
+
+    config = FlowConfig(vf_mode=VectorFieldMode(args.vfMode),
+                        connection_mode=ConnectionMode(args.cMode), dtype=args.dtype)
+    host, basis = build_basis(mesh, config)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.dtype(args.dtype))
+    result = compute_spectrum(basis, mass, args.eigenVectors)
+    for i, field in enumerate(result.triangle_fields):
+        path = os.path.join(args.outPrefix, f"eigenvector-{i + 1:03d}.bin") \
+            if args.outPrefix else f"eigenvector-{i + 1:03d}.bin"
+        write_vector(path, field.reshape(-1, 2))
+    if args.verbose:
+        print(json.dumps({"eigenvalues": [float(x) for x in result.eigenvalues]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,13 +6,14 @@ Rebuilds the reference driver (OpticalFlow/OpticalFlow.cpp):
     rasterize the texel sample table, preprocess comparison signals
     (log space / DoG bands), build the vector-field basis;
   * per-level UpdateFlow (:423-474): smooth -> advect +-1/2 -> data term ->
-    regularized Gauss-Newton step (one jitted device function per level);
+    regularized Gauss-Newton step;
   * IterativeOptimization (:1035-1056): coarse-to-fine weight schedule,
     final advection of the original inputs to the halfway point and blend.
 
-Device work is a single jitted level function; the Python loop only carries
-the (coeffs, tfield, weights) schedule. Host work (mesh building, scipy
-operator assembly, rasterization) happens once at init.
+jit hygiene matters on the tunneled TPU runtime (eager dispatch ~50 ms/op,
+compiles cost tens of seconds): every device computation lives in a
+module-level jitted pure function over pytrees, so jax's jit cache (plus the
+persistent compilation cache) is hit across calls, levels, and runs.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from meshopticalflow_tpu.config import FlowConfig
 from meshopticalflow_tpu.geometry.mesh import HostMesh, build_mesh
@@ -35,13 +37,24 @@ from meshopticalflow_tpu.geometry.subdivide import subdivide_textured_mesh
 from meshopticalflow_tpu.io.ply import read_triangle_mesh, write_ply_colored
 from meshopticalflow_tpu.io.png import read_png_rgb, write_png_rgb
 from meshopticalflow_tpu.kernels.advect import (
-    advect_texture, resample_signal, sample_texture_bilinear, sample_vertex_signal)
-from meshopticalflow_tpu.kernels.tracing import TraceMesh, exp_map, flow_field_trace, make_trace_mesh
+    advect_texture, resample_signal, resample_signal_pair, sample_vertex_signal)
+from meshopticalflow_tpu.kernels.tracing import TraceMesh, exp_map, make_trace_mesh
 from meshopticalflow_tpu.models.base import BasisDevice, build_basis, update_optical_flow
 from meshopticalflow_tpu.ops.dataterm import data_term_blocks
 from meshopticalflow_tpu.ops.ell import ell_matvec
 from meshopticalflow_tpu.flow.signal import (
     SmoothingOperators, dog_band, log_space, make_smoothing_operators, smooth_signal)
+from meshopticalflow_tpu.utils.jitcache import enable_persistent_cache
+
+
+class ProblemArrays(struct.PyTreeNode):
+    """All static device arrays of a flow problem, bundled as one pytree."""
+
+    tm: TraceMesh
+    smooth_ops: SmoothingOperators
+    basis: BasisDevice
+    signals: jnp.ndarray     # (V, 2C) both comparison signals channel-stacked
+    area: jnp.ndarray        # (T,)
 
 
 @dataclasses.dataclass
@@ -50,6 +63,98 @@ class FlowResult:
     tfield: np.ndarray            # (T, 2) final flow field
     metrics: List[Dict]           # per-level metrics
 
+
+# ----------------------------------------------------------------------------
+# Jitted device stages (module level: one compile per shape signature)
+# ----------------------------------------------------------------------------
+
+def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
+                        config: FlowConfig) -> jnp.ndarray:
+    """Comparison-signal construction (OpticalFlow.cpp:820-857).
+
+    raw: (2, V, 3) -> (V, 2C) channel-stacked preprocessed signals.
+    Host-orchestrated (the DoG band contains a chunked solve).
+    """
+    sig = raw
+    if config.log_space:
+        sig = log_space(sig)
+    if config.dog_weight > 0:
+        stacked = jnp.concatenate([sig[0], sig[1]], axis=1)        # (V, 6)
+        bands = dog_band(smooth_ops, stacked, config.dog_smooth,
+                         tol=config.cg_tol, max_iters=config.cg_max_iters)
+        if config.channels == 6:
+            out0 = jnp.concatenate([sig[0] * (1 - config.dog_weight),
+                                    bands[:, :3] * config.dog_weight], axis=1)
+            out1 = jnp.concatenate([sig[1] * (1 - config.dog_weight),
+                                    bands[:, 3:] * config.dog_weight], axis=1)
+            return jnp.concatenate([out0, out1], axis=1)
+        return bands
+    return jnp.concatenate([sig[0], sig[1]], axis=1)
+
+
+def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig):
+    return smooth_signal(arrays.smooth_ops, arrays.signals, s_weight,
+                         tol=config.cg_tol, max_iters=config.cg_max_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig):
+    """Advect both smoothed signals by -1/2 / +1/2 and build the data term
+    plus the alignment-error diagnostic (OpticalFlow.cpp:439-470, 1012-1023)."""
+    c = arrays.signals.shape[1] // 2
+    resampled = resample_signal_pair(arrays.tm, tfield, smoothed, -0.5, 0.5,
+                                     config.flow_min_step, config.flow_max_steps)
+    res0, res1 = resampled[:, :c], resampled[:, c:]
+    d_blocks, rhs_t = data_term_blocks(arrays.tm.triangles, arrays.area, res0, res1)
+    diff = res1 - res0
+    mdiff = ell_matvec(arrays.smooth_ops.cols, arrays.smooth_ops.mass_vals, diff)
+    align_err = jnp.sum(diff * mdiff)
+    return d_blocks, rhs_t, align_err
+
+
+def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
+                 config: FlowConfig):
+    return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
+                               cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters)
+
+
+def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
+                config: FlowConfig):
+    """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
+    one jitted advect+data-term stage, chunked-PCG flow solve."""
+    smoothed, sm_stats = _stage_smooth(arrays, s_weight, config)
+    d_blocks, rhs_t, align_err = _stage_resample(arrays, tfield, smoothed, config)
+    new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
+                                                    v_weight, config)
+    return new_coeffs, new_tfield, dict(
+        smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
+        flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
+        alignment_error=align_err)
+
+
+@functools.partial(jax.jit, static_argnames=("min_step", "max_steps"))
+def _advect_colors_jit(tm: TraceMesh, tfield, colors, length, min_step, max_steps):
+    return resample_signal(tm, tfield, colors, length, min_step, max_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("min_step", "max_steps", "bilinear"))
+def _advect_texture_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src_p,
+                        length, min_step, max_steps, bilinear):
+    colors = advect_texture(tm, tfield, tri_uvs, texture, src_t, src_p, length,
+                            min_step, max_steps, bilinear)
+    base = jnp.flipud(texture).reshape(-1, texture.shape[-1])
+    return jnp.where((src_t >= 0)[:, None], colors, base)
+
+
+@jax.jit
+def _exp_remap_jit(tm: TraceMesh, t0, p):
+    center = jnp.full_like(p, 1.0 / 3.0)
+    return exp_map(tm, t0, center, p - center)
+
+
+# ----------------------------------------------------------------------------
+# Host orchestration
+# ----------------------------------------------------------------------------
 
 def _host_sample_texture(texture: np.ndarray, uv: np.ndarray, bilinear: bool) -> np.ndarray:
     """numpy clone of the reference texture fetch (MeshFlow.inl:65-84)."""
@@ -81,45 +186,33 @@ def sample_texture_to_vertices(triangles: np.ndarray, uvs: np.ndarray,
 
 
 class FlowProblem:
-    """A prepared optical-flow problem: device arrays + jitted level step."""
+    """A prepared optical-flow problem: device arrays + cached jitted stages."""
 
     def __init__(
         self,
         config: FlowConfig,
         mesh: HostMesh,
-        signals: np.ndarray,               # (2, V, C) comparison signals
+        signals: np.ndarray,               # (2, V, 3) raw input signals
         vertices: Optional[np.ndarray] = None,
-        # texture mode:
         texture_source: Optional[TextureSource] = None,
         tri_uvs: Optional[np.ndarray] = None,
-        textures: Optional[np.ndarray] = None,   # (2, H, W, 3) uint8
-        # per-vertex mode:
+        textures: Optional[np.ndarray] = None,       # (2, H, W, 3) uint8
         vertex_colors: Optional[np.ndarray] = None,  # (2, V, 3)
     ):
+        enable_persistent_cache()
         self.config = config
         self.mesh = mesh
         dtype = jnp.dtype(config.dtype)
         self.dtype = dtype
-        self.tm = make_trace_mesh(mesh, dtype)
-        self.smooth_ops = make_smoothing_operators(mesh, dtype)
-        self.basis_host, self.basis = build_basis(mesh, config)
+        tm = make_trace_mesh(mesh, dtype)
+        smooth_ops = make_smoothing_operators(mesh, dtype)
+        self.basis_host, basis = build_basis(mesh, config)
         self.vertices = vertices
 
-        sig = jnp.asarray(signals, dtype)            # (2, V, C)
-        # Comparison-signal preprocessing (OpticalFlow.cpp:820-857).
-        if config.log_space:
-            sig = log_space(sig)
-        if config.dog_weight > 0:
-            bands = jnp.stack([
-                dog_band(self.smooth_ops, sig[s], config.dog_smooth) for s in range(2)])
-            if config.channels == 6:
-                sig = jnp.concatenate([sig * (1.0 - config.dog_weight),
-                                       bands * config.dog_weight], axis=2)
-            else:
-                sig = bands
-        self.signals = sig                           # (2, V, C)
+        sig = _preprocess_signals(smooth_ops, jnp.asarray(signals, dtype), config)
+        self.arrays = ProblemArrays(tm=tm, smooth_ops=smooth_ops, basis=basis,
+                                    signals=sig, area=jnp.asarray(mesh.area, dtype))
 
-        self.area = jnp.asarray(mesh.area, dtype)
         self.texture_source = texture_source
         self.textures = None if textures is None else jnp.asarray(textures, dtype)
         self.tri_uvs = None if tri_uvs is None else jnp.asarray(tri_uvs, dtype)
@@ -127,12 +220,11 @@ class FlowProblem:
         if texture_source is not None:
             self.src_t = jnp.asarray(texture_source.tri_idx)
             self.src_p = jnp.asarray(texture_source.bary, dtype)
+            self._exp_remap_texels()
+        self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
+        self.tfield = jnp.zeros((mesh.n_triangles, 2), dtype)
 
-        self._level_step = jax.jit(functools.partial(self._level_step_impl))
-
-    # ------------------------------------------------------------------
-    # Construction
-    # ------------------------------------------------------------------
+    # -- construction ----------------------------------------------------
 
     @classmethod
     def from_texture_inputs(cls, mesh_path: str, texture_paths: Tuple[str, str],
@@ -158,10 +250,8 @@ class FlowProblem:
         mesh = build_mesh(tris, vertices=verts)
         h, w = tex0.shape[:2]
         src = rasterize_texture_source(uvs, w, h, config.pad_radius)
-        problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
-                      tri_uvs=uvs, textures=np.stack([tex0, tex1]))
-        problem._exp_remap_texels()
-        return problem
+        return cls(config, mesh, signals, vertices=verts, texture_source=src,
+                   tri_uvs=uvs, textures=np.stack([tex0, tex1]))
 
     @classmethod
     def from_vertex_inputs(cls, path0: str, path1: str, config: FlowConfig) -> "FlowProblem":
@@ -177,8 +267,7 @@ class FlowProblem:
             raise ValueError("inputs must carry per-vertex colors")
         verts = (m0.vertices + m1.vertices) * 0.5
         mesh = build_mesh(m0.faces, vertices=verts)
-        signals = np.stack([m0.colors, m1.colors])
-        return cls(config, mesh, signals, vertices=verts,
+        return cls(config, mesh, np.stack([m0.colors, m1.colors]), vertices=verts,
                    vertex_colors=np.stack([m0.colors, m1.colors]))
 
     def _exp_remap_texels(self) -> None:
@@ -189,10 +278,8 @@ class FlowProblem:
         if not mask.any():
             return
         idx = np.nonzero(mask)[0]
-        t0 = jnp.asarray(src.tri_idx[idx])
-        center = jnp.full((len(idx), 2), 1.0 / 3.0, self.dtype)
-        v = jnp.asarray(src.bary[idx], self.dtype) - center
-        t1, p1 = exp_map(self.tm, t0, center, v)
+        t1, p1 = _exp_remap_jit(self.arrays.tm, jnp.asarray(src.tri_idx[idx]),
+                                jnp.asarray(src.bary[idx], self.dtype))
         tri_idx = src.tri_idx.copy()
         bary = src.bary.copy()
         tri_idx[idx] = np.asarray(t1)
@@ -201,54 +288,19 @@ class FlowProblem:
         self.src_t = jnp.asarray(tri_idx)
         self.src_p = jnp.asarray(bary, self.dtype)
 
-    # ------------------------------------------------------------------
-    # Per-level update (UpdateFlow, OpticalFlow.cpp:423-474)
-    # ------------------------------------------------------------------
-
-    def _level_step_impl(self, coeffs, tfield, s_weight, v_weight):
-        cfg = self.config
-        v_count = self.signals.shape[1]
-        c = self.signals.shape[2]
-        # Smooth both signals in one batched solve (SMOOTH_FIRST path).
-        stacked = jnp.concatenate([self.signals[0], self.signals[1]], axis=1)  # (V, 2C)
-        smoothed, sm_stats = smooth_signal(self.smooth_ops, stacked, s_weight,
-                                           tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
-        res0 = resample_signal(self.tm, tfield, smoothed[:, :c], -0.5,
-                               cfg.flow_min_step, cfg.flow_max_steps)
-        res1 = resample_signal(self.tm, tfield, smoothed[:, c:], +0.5,
-                               cfg.flow_min_step, cfg.flow_max_steps)
-        d_blocks, rhs_t = data_term_blocks(self.tm.triangles, self.area, res0, res1)
-        new_coeffs, new_tfield, cg_stats = update_optical_flow(
-            self.basis, coeffs, d_blocks, rhs_t, v_weight,
-            cg_tol=cfg.cg_tol, cg_max_iters=cfg.cg_max_iters)
-        # Alignment error diagnostic (the disabled block at
-        # OpticalFlow.cpp:1012-1023): mass-weighted residual of the
-        # resampled signals.
-        diff = res1 - res0
-        mdiff = ell_matvec(self.smooth_ops.cols, self.smooth_ops.mass_vals, diff)
-        align_err = jnp.sum(diff * mdiff)
-        return new_coeffs, new_tfield, dict(
-            smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
-            flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
-            alignment_error=align_err)
-
-    # ------------------------------------------------------------------
-    # Outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056)
-    # ------------------------------------------------------------------
+    # -- outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056) ---
 
     def run(self, verbose: bool = False) -> FlowResult:
         cfg = self.config
-        t_count = self.mesh.n_triangles
-        coeffs = jnp.zeros(self.basis.n_coeffs, self.dtype)
-        tfield = jnp.zeros((t_count, 2), self.dtype)
+        coeffs, tfield = self.coeffs, self.tfield
         s_weight = cfg.scalar_smooth_weight
         v_weight = cfg.resolved_vf_smooth_weight()
         metrics: List[Dict] = []
         for level in range(cfg.levels):
             t0 = time.time()
-            coeffs, tfield, stats = self._level_step(
-                coeffs, tfield, jnp.asarray(s_weight, self.dtype),
-                jnp.asarray(v_weight, self.dtype))
+            coeffs, tfield, stats = _level_step(
+                self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
+                jnp.asarray(v_weight, self.dtype), cfg)
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)
@@ -262,9 +314,7 @@ class FlowProblem:
         self.coeffs, self.tfield = coeffs, tfield
         return FlowResult(np.asarray(coeffs), np.asarray(tfield), metrics)
 
-    # ------------------------------------------------------------------
-    # Final outputs
-    # ------------------------------------------------------------------
+    # -- final outputs ---------------------------------------------------
 
     def advected_vertex_colors(self, alpha: float = 0.5) -> np.ndarray:
         """Advect the original input colors to the halfway point
@@ -273,34 +323,30 @@ class FlowProblem:
         outs = []
         for s in range(2):
             length = -alpha if s == 0 else 1.0 - alpha
-            outs.append(resample_signal(self.tm, self.tfield, self.vertex_colors[s],
-                                        length, cfg.flow_min_step, cfg.flow_max_steps))
+            outs.append(_advect_colors_jit(
+                self.arrays.tm, self.tfield, self.vertex_colors[s],
+                jnp.asarray(length, self.dtype), cfg.flow_min_step, cfg.flow_max_steps))
         return np.stack([np.asarray(o) for o in outs])
 
     def advected_textures(self, alpha: float = 0.5) -> np.ndarray:
         """Advect both textures to the halfway point
         (InputTextureData::flow, OpticalFlow.cpp:501-515). Returns (2, H, W, 3)
-        in uv-space row order (row 0 = v=0); unclaimed texels keep the input."""
+        in uv-space row order; unclaimed texels keep the input."""
         cfg = self.config
         src = self.texture_source
         h, w = src.height, src.width
         outs = []
         for s in range(2):
             length = -alpha if s == 0 else 1.0 - alpha
-            colors = advect_texture(
-                self.tm, self.tfield, self.tri_uvs, self.textures[s],
-                self.src_t, self.src_p, length,
-                cfg.flow_min_step, cfg.flow_max_steps, bilinear=not cfg.nearest)
-            # Unclaimed texels fall back to the (v-flipped) input texture
-            # (Init seeds inputAdvectedTexture with the input, OpticalFlow.cpp:887-889).
-            base = jnp.flipud(self.textures[s]).reshape(-1, 3)
-            out = jnp.where((self.src_t >= 0)[:, None], colors, base)
+            out = _advect_texture_jit(
+                self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
+                self.src_t, self.src_p, jnp.asarray(length, self.dtype),
+                cfg.flow_min_step, cfg.flow_max_steps, not cfg.nearest)
             outs.append(out.reshape(h, w, 3))
         return np.stack([np.asarray(o) for o in outs])
 
     def write_output(self, path: str, alpha: float = 0.5) -> None:
-        """Blend the two advected inputs and write (IterativeOptimization
-        output, OpticalFlow.cpp:1044-1055)."""
+        """Blend the two advected inputs and write (OpticalFlow.cpp:1044-1055)."""
         if self.texture_source is not None:
             adv = self.advected_textures(alpha)
             blend = (adv[0] + adv[1]) / 2.0

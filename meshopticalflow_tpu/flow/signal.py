@@ -59,16 +59,30 @@ def make_smoothing_operators(mesh: HostMesh, dtype=jnp.float32) -> SmoothingOper
     )
 
 
-def smooth_signal(ops: SmoothingOperators, signal: jnp.ndarray, weight,
-                  tol: float = 1e-7, max_iters: int = 1000):
-    """(M + w K)^-1 M s for a (V, C) signal (FlowData::smoothSignal)."""
+import jax
+
+
+@jax.jit
+def _smooth_system(ops: SmoothingOperators, signal: jnp.ndarray, weight):
     weight = jnp.asarray(weight, signal.dtype)
     sys_vals = ops.mass_vals + weight * ops.stiff_vals
     b = ell_matvec(ops.cols, ops.mass_vals, signal)
     diag = jnp.take_along_axis(sys_vals, ops.diag_slot[:, None], axis=1)[:, 0]
-    x, stats = pcg_multi(lambda v: ell_matvec(ops.cols, sys_vals, v), b, diag,
-                         x0=signal, tol=tol, max_iters=max_iters)
-    return x, stats
+    return sys_vals, b, diag
+
+
+def smooth_signal(ops: SmoothingOperators, signal: jnp.ndarray, weight,
+                  tol: float = 1e-7, max_iters: int = 1000, chunk: int = 128):
+    """(M + w K)^-1 M s for a (V, C) signal (FlowData::smoothSignal).
+
+    Host-orchestrated chunked PCG (bounded device time per dispatch),
+    warm-started from the signal itself.
+    """
+    from meshopticalflow_tpu.solvers.cg import ell_pcg
+
+    sys_vals, b, diag = _smooth_system(ops, signal, weight)
+    return ell_pcg(ops.cols, sys_vals, diag, b, x0=signal,
+                   tol=tol, max_iters=max_iters, chunk=chunk)
 
 
 def integral(ops: SmoothingOperators, x: jnp.ndarray) -> jnp.ndarray:
@@ -76,13 +90,9 @@ def integral(ops: SmoothingOperators, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("v,vc->c", ops.lumped, x)
 
 
-def dog_band(ops: SmoothingOperators, signal: jnp.ndarray, dog_smooth,
-             tol: float = 1e-8, max_iters: int = 2000) -> jnp.ndarray:
-    """Variance-renormalized high-pass band (OpticalFlow.cpp:822-854).
-
-    signal: (V, C); returns the renormalized DoG band (V, C).
-    """
-    smoothed, _ = smooth_signal(ops, signal, dog_smooth, tol, max_iters)
+@jax.jit
+def _dog_renormalize(ops: SmoothingOperators, signal, smoothed):
+    """Variance renormalization of the high-pass band (OpticalFlow.cpp:830-853)."""
     b = ell_matvec(ops.cols, ops.mass_vals, signal)
     old_avg = integral(ops, signal)
     old_var = jnp.einsum("vc,vc->c", signal, b) - old_avg * old_avg
@@ -92,6 +102,16 @@ def dog_band(ops: SmoothingOperators, signal: jnp.ndarray, dog_smooth,
     new_var = jnp.einsum("vc,vc->c", hi, b_hi) - new_avg * new_avg
     scale = jnp.sqrt(old_var / jnp.where(new_var > 0, new_var, 1.0))
     return (hi - new_avg[None, :]) * scale[None, :] + old_avg[None, :]
+
+
+def dog_band(ops: SmoothingOperators, signal: jnp.ndarray, dog_smooth,
+             tol: float = 1e-8, max_iters: int = 2000) -> jnp.ndarray:
+    """Variance-renormalized high-pass band (OpticalFlow.cpp:822-854).
+
+    signal: (V, C); returns the renormalized DoG band (V, C).
+    """
+    smoothed, _ = smooth_signal(ops, signal, dog_smooth, tol, max_iters)
+    return _dog_renormalize(ops, signal, smoothed)
 
 
 def log_space(signal: jnp.ndarray) -> jnp.ndarray:

@@ -54,6 +54,37 @@ def resample_signal(
     return out / jnp.maximum(counts, 1.0)[:, None]
 
 
+def resample_signal_pair(
+    tm: TraceMesh,
+    vfield: jnp.ndarray,          # (T, 2)
+    values: jnp.ndarray,          # (V, 2C): the two signals channel-stacked
+    length0, length1,             # flow times of the two halves (-0.5 / +0.5)
+    min_step: float = 1e-2,
+    max_steps: int = 4096,
+) -> jnp.ndarray:
+    """Advect both comparison signals in ONE trace (UpdateFlow's two
+    ResampleSignal calls, OpticalFlow.cpp:439): lanes 0..T-1 flow by
+    ``length0`` sampling channels [:C], lanes T..2T-1 by ``length1``
+    sampling [C:]. Returns (V, 2C)."""
+    t_count = tm.n_triangles
+    n_vertices = values.shape[0]
+    c = values.shape[1] // 2
+    t0 = jnp.tile(jnp.arange(t_count, dtype=jnp.int32), 2)
+    p0 = jnp.full((2 * t_count, 2), 1.0 / 3.0, values.dtype)
+    times = jnp.concatenate([
+        jnp.full(t_count, jnp.asarray(length0, values.dtype)),
+        jnp.full(t_count, jnp.asarray(length1, values.dtype))])
+    t1, p1 = flow_field_trace(tm, vfield, times, t0, p0, min_step, max_steps)
+    sampled = sample_vertex_signal(tm.triangles, values, t1, p1)   # (2T, 2C)
+    both = jnp.concatenate([sampled[:t_count, :c], sampled[t_count:, c:]], axis=1)  # (T, 2C)
+    flat_idx = tm.triangles.ravel()
+    contrib = jnp.repeat(both, 3, axis=0)
+    out = jax.ops.segment_sum(contrib, flat_idx, num_segments=n_vertices)
+    counts = jax.ops.segment_sum(jnp.ones_like(flat_idx, values.dtype), flat_idx,
+                                 num_segments=n_vertices)
+    return out / jnp.maximum(counts, 1.0)[:, None]
+
+
 def sample_texture_bilinear(texture: jnp.ndarray, uv: jnp.ndarray,
                             bilinear: bool = True) -> jnp.ndarray:
     """Texture fetch with the reference's y-flip + clamp (MeshFlow.inl:65-84).

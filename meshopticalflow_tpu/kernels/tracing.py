@@ -68,18 +68,27 @@ def _edge_exit(p, v, in_edge, eps):
     Candidates are checked in the reference order (bottom -> chart edge 2,
     left -> 1, diagonal -> 0) keeping the larger s. Returns (s, idx) with
     idx = -1 when no edge is hit.
+
+    The reference relies on IEEE inf/NaN from zero denominators to reject
+    impossible edges (FEM.inl:923-926); here the zero-denominator case is
+    masked explicitly so every surviving quantity is finite — inf/NaN
+    comparison results must not depend on how XLA fuses the division.
     """
-    with jax.numpy_dtype_promotion("standard"):
-        s_bottom = -p[:, 1] / v[:, 1]
-        s_left = -p[:, 0] / v[:, 0]
-        s_diag = (1.0 - p[:, 0] - p[:, 1]) / (v[:, 0] + v[:, 1])
-        best_s = jnp.zeros_like(s_bottom)
-        best_idx = jnp.full(p.shape[0], -1, jnp.int32)
-        for s_cand, foo_axis, idx in ((s_bottom, 0, 2), (s_left, 1, 1), (s_diag, 0, 0)):
-            foo = p[:, foo_axis] + v[:, foo_axis] * s_cand
-            ok = (in_edge != idx) & (s_cand > 0) & (foo >= -eps) & (foo <= 1 + eps) & (s_cand > best_s)
-            best_s = jnp.where(ok, s_cand, best_s)
-            best_idx = jnp.where(ok, idx, best_idx)
+    cands = (
+        (-p[:, 1], v[:, 1], 0, 2),                                  # bottom edge
+        (-p[:, 0], v[:, 0], 1, 1),                                  # left edge
+        (1.0 - p[:, 0] - p[:, 1], v[:, 0] + v[:, 1], 0, 0),         # diagonal
+    )
+    best_s = jnp.zeros(p.shape[0], p.dtype)
+    best_idx = jnp.full(p.shape[0], -1, jnp.int32)
+    for num, den, foo_axis, idx in cands:
+        nonzero = den != 0
+        s_cand = num / jnp.where(nonzero, den, 1.0)
+        foo = p[:, foo_axis] + v[:, foo_axis] * s_cand
+        ok = (nonzero & (in_edge != idx) & (s_cand > 0)
+              & (foo >= -eps) & (foo <= 1 + eps) & (s_cand > best_s))
+        best_s = jnp.where(ok, s_cand, best_s)
+        best_idx = jnp.where(ok, idx, best_idx)
     return best_s, best_idx
 
 
@@ -98,23 +107,27 @@ def flow_field_trace(
     eps: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched FEM::RiemannianMesh::flow (FEM.inl:901-994). Returns final
-    (t_idx, p); lanes with t_idx < 0 pass through unchanged."""
+    (t_idx, p); lanes with t_idx < 0 pass through unchanged. ``flow_time``
+    may be a scalar or per-lane (N,) array (sign = direction per lane)."""
     dtype = p.dtype
     n = p.shape[0]
-    flow_time = jnp.asarray(flow_time, dtype)
+    flow_time = jnp.broadcast_to(jnp.asarray(flow_time, dtype), (n,))
     direction = jnp.where(flow_time < 0, -1.0, 1.0).astype(dtype)
     ft0 = jnp.abs(flow_time)
 
     valid = t_idx >= 0
     t_safe = jnp.maximum(t_idx, 0)
-    v0 = vfield[t_safe] * direction
+    v0 = vfield[t_safe] * direction[:, None]
+    # Tie scalar-derived carries to the (possibly device-varying) lane inputs
+    # so the while_loop carry is type-stable under shard_map.
+    zero_like_lane = t_safe * 0
     state = dict(
         t=t_safe,
         p=p,
         v=v0,
-        ft=jnp.full(n, ft0, dtype),
-        step_left=jnp.full(n, jnp.asarray(min_step, dtype)),
-        in_edge=jnp.full(n, -1, jnp.int32),
+        ft=ft0 + p[:, 0] * 0,
+        step_left=jnp.full(n, jnp.asarray(min_step, dtype)) + p[:, 0] * 0,
+        in_edge=jnp.full(n, -1, jnp.int32) + zero_like_lane,
         active=valid & (jnp.sum(v0 * v0, -1) > 0),
         count=jnp.asarray(0, jnp.int32),
     )
@@ -146,7 +159,7 @@ def flow_field_trace(
         vf_here = vfield[t]
         reversal = _metric_dot(g_t, v, vf_here) * direction < 0
         resample = active & ~finish & update_vector
-        new_v = jnp.where(resample[:, None], vf_here * direction, v)
+        new_v = jnp.where(resample[:, None], vf_here * direction[:, None], v)
         new_step_left = jnp.where(resample, min_step, s["step_left"])
         new_in_edge = jnp.where(resample, -1, s["in_edge"])
 
@@ -182,6 +195,10 @@ def flow_field_trace(
         )
 
     out = lax.while_loop(cond, body, state)
+    # Barrier: without it XLA may fuse/duplicate the loop into downstream
+    # consumers, and re-fused copies of branchy marching code can diverge
+    # from the returned values (observed on CPU XLA with multi-loop graphs).
+    out = lax.optimization_barrier(out)
     final_t = jnp.where(valid, out["t"], t_idx)
     final_p = jnp.where(valid[:, None], out["p"], p)
     return final_t.astype(jnp.int32), final_p
@@ -210,21 +227,23 @@ def whitney_flow_trace(
     max_steps: int = 4096,
     eps: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched FEM::RiemannianMesh::whitneyFlow (FEM.inl:998-1100)."""
+    """Batched FEM::RiemannianMesh::whitneyFlow (FEM.inl:998-1100).
+    ``flow_time`` may be scalar or per-lane (N,)."""
     dtype = p.dtype
     n = p.shape[0]
-    flow_time = jnp.asarray(flow_time, dtype)
+    flow_time = jnp.broadcast_to(jnp.asarray(flow_time, dtype), (n,))
     direction = jnp.where(flow_time < 0, -1.0, 1.0).astype(dtype)
     ft0 = jnp.abs(flow_time)
 
     valid = t_idx >= 0
     t_safe = jnp.maximum(t_idx, 0)
-    v0 = _whitney_vector(tm, ce, t_safe, p) * direction
+    v0 = _whitney_vector(tm, ce, t_safe, p) * direction[:, None]
+    zero_like_lane = t_safe * 0
     state = dict(
         t=t_safe, p=p, v=v0,
-        ft=jnp.full(n, ft0, dtype),
-        step_left=jnp.full(n, jnp.asarray(min_step, dtype)),
-        in_edge=jnp.full(n, -1, jnp.int32),
+        ft=ft0 + p[:, 0] * 0,
+        step_left=jnp.full(n, jnp.asarray(min_step, dtype)) + p[:, 0] * 0,
+        in_edge=jnp.full(n, -1, jnp.int32) + zero_like_lane,
         active=valid & (jnp.sum(v0 * v0, -1) > 0),
         count=jnp.asarray(0, jnp.int32),
     )
@@ -253,7 +272,7 @@ def whitney_flow_trace(
         vf_here = _whitney_vector(tm, ce, t, new_p)
         reversal = _metric_dot(g_t, v, vf_here) * direction < 0
         resample = active & ~finish & update_vector
-        new_v = jnp.where(resample[:, None], vf_here * direction, v)
+        new_v = jnp.where(resample[:, None], vf_here * direction[:, None], v)
         new_step_left = jnp.where(resample, min_step, s["step_left"])
         new_in_edge = jnp.where(resample, -1, s["in_edge"])
 
@@ -287,6 +306,10 @@ def whitney_flow_trace(
         )
 
     out = lax.while_loop(cond, body, state)
+    # Barrier: without it XLA may fuse/duplicate the loop into downstream
+    # consumers, and re-fused copies of branchy marching code can diverge
+    # from the returned values (observed on CPU XLA with multi-loop graphs).
+    out = lax.optimization_barrier(out)
     final_t = jnp.where(valid, out["t"], t_idx)
     final_p = jnp.where(valid[:, None], out["p"], p)
     return final_t.astype(jnp.int32), final_p
@@ -323,7 +346,7 @@ def exp_map(
     v = jnp.where(pre[:, None], jnp.einsum("nab,nb->na", lin, v), v)
     in_edge = jnp.where(pre, opp_e % 3, in_edge)
 
-    state = dict(t=t, p=p, v=v, in_edge=in_edge, active=active,
+    state = dict(t=t, p=p, v=v, in_edge=in_edge + t * 0, active=active,
                  count=jnp.asarray(0, jnp.int32))
 
     def cond(s):
@@ -361,6 +384,10 @@ def exp_map(
         )
 
     out = lax.while_loop(cond, body, state)
+    # Barrier: without it XLA may fuse/duplicate the loop into downstream
+    # consumers, and re-fused copies of branchy marching code can diverge
+    # from the returned values (observed on CPU XLA with multi-loop graphs).
+    out = lax.optimization_barrier(out)
     final_t = jnp.where(valid, out["t"], t_idx)
     final_p = jnp.where(valid[:, None], out["p"], p)
     return final_t.astype(jnp.int32), final_p

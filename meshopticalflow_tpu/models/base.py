@@ -143,6 +143,33 @@ def data_term_ell_vals(basis: BasisDevice, d_blocks: jnp.ndarray) -> jnp.ndarray
     return flat.at[basis.dt_slots].add(vals.ravel())
 
 
+@jax.jit
+def build_flow_system(basis: BasisDevice, d_blocks, rhs_t, vf_smooth_weight):
+    """Assemble the level system (R D P)/||.||_F + lambda S on the union ELL
+    pattern plus the reduced, rescaled rhs (VectorField.h:51-67)."""
+    n, w = basis.ell_cols.shape
+    dt_flat = data_term_ell_vals(basis, d_blocks)
+    frob = jnp.sqrt(jnp.sum(dt_flat * dt_flat))
+    scale = jnp.where(frob > 0, 1.0 / frob, 0.0)
+    dt_vals = (dt_flat * scale).reshape(n, w)
+    sys_vals = dt_vals + vf_smooth_weight * basis.s_vals
+    rhs = reduce_rhs(basis, rhs_t) * scale
+    diag = jnp.take_along_axis(sys_vals, basis.diag_slot[:, None], axis=1)[:, 0]
+    return sys_vals, dt_vals, rhs, diag
+
+
+@jax.jit
+def finalize_flow_step(basis: BasisDevice, coeffs, x, dt_vals, rhs):
+    """Optimal step tau = (x . rhs) / (x . dataTerm x) and coefficient
+    update (VectorField.h:89-103)."""
+    dx = ell_matvec(basis.ell_cols, dt_vals, x)
+    denom = jnp.vdot(x, dx)
+    num = jnp.vdot(x, rhs)
+    step = jnp.where(denom != 0, num / jnp.where(denom != 0, denom, 1.0), 0.0)
+    new_coeffs = coeffs + step * x
+    return new_coeffs, prolong(basis, new_coeffs)
+
+
 def update_optical_flow(
     basis: BasisDevice,
     coeffs: jnp.ndarray,
@@ -151,30 +178,20 @@ def update_optical_flow(
     vf_smooth_weight: jnp.ndarray,
     cg_tol: float = 1e-7,
     cg_max_iters: int = 2000,
+    cg_chunk: int = 128,
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
-    VectorField.h:46-104).
+    VectorField.h:46-104). Host-orchestrated: jitted system assembly,
+    chunked ELL-PCG (bounded device time per dispatch), jitted finalize.
 
     Returns (new_coeffs, tfield, solve_stats).
     """
-    n, w = basis.ell_cols.shape
-    dt_flat = data_term_ell_vals(basis, d_blocks)
-    frob = jnp.sqrt(jnp.sum(dt_flat * dt_flat))
-    scale = jnp.where(frob > 0, 1.0 / frob, 0.0)
-    dt_vals = (dt_flat * scale).reshape(n, w)
-    sys_vals = dt_vals + vf_smooth_weight * basis.s_vals
-    rhs = reduce_rhs(basis, rhs_t) * scale
+    from meshopticalflow_tpu.solvers.cg import ell_pcg
 
-    diag = jnp.take_along_axis(sys_vals, basis.diag_slot[:, None], axis=1)[:, 0]
-    x, stats = pcg(
-        lambda v: ell_matvec(basis.ell_cols, sys_vals, v),
-        rhs, diag, tol=cg_tol, max_iters=cg_max_iters)
-
-    # Optimal step tau = (x . rhs) / (x . dataTerm x) (VectorField.h:89-99).
-    dx = ell_matvec(basis.ell_cols, dt_vals, x)
-    denom = jnp.vdot(x, dx)
-    num = jnp.vdot(x, rhs)
-    step = jnp.where(denom != 0, num / jnp.where(denom != 0, denom, 1.0), 0.0)
-    new_coeffs = coeffs + step * x
-    tfield = prolong(basis, new_coeffs)
+    vf_smooth_weight = jnp.asarray(vf_smooth_weight, coeffs.dtype)
+    sys_vals, dt_vals, rhs, diag = build_flow_system(basis, d_blocks, rhs_t,
+                                                     vf_smooth_weight)
+    x, stats = ell_pcg(basis.ell_cols, sys_vals, diag, rhs,
+                       tol=cg_tol, max_iters=cg_max_iters, chunk=cg_chunk)
+    new_coeffs, tfield = finalize_flow_step(basis, coeffs, x, dt_vals, rhs)
     return new_coeffs, tfield, stats

@@ -1,0 +1,6 @@
+from meshopticalflow_tpu.parallel.sharding import (
+    make_device_mesh,
+    level_step_shardings,
+    sharded_level_step,
+    advect_texture_sharded,
+)

@@ -1,0 +1,235 @@
+"""Generalized eigensolver for the vector-field Laplacian spectrum.
+
+Replaces the reference's ARPACK++ reverse-communication shift-invert driver
+(Src/EigenvalueSolver.h:79-219, Src/VectorLaplacianSpectrum.inl): solve
+S x = lambda M x for the lowest-k pairs, where S is a basis smoothness
+operator (padded ELL) and M = P^T (g * area) P is the vector-field mass
+pulled back through the prolongation (VectorLaplacianSpectrum.inl:9-19).
+
+Method: Lanczos with full reorthogonalization in the M inner product on
+op(x) = (S + sigma M)^{-1} M x — the positive shift keeps the inner systems
+SPD even when S has a nullspace (the reference shifts by -1e-8 and uses
+LDLT, EigenvalueSolver.h:176-178); lambda = 1/theta - sigma for Ritz values
+theta. The whole Lanczos recurrence runs as ONE jitted lax.fori_loop: the
+inner solve is Jacobi-PCG and the reorthogonalization is two MXU matmuls
+against the stored Krylov block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from meshopticalflow_tpu.models.base import BasisDevice, prolong, restrict
+from meshopticalflow_tpu.ops.ell import ell_matvec
+from meshopticalflow_tpu.solvers.cg import pcg, pcg_multi
+
+
+class SpectrumResult(NamedTuple):
+    eigenvalues: np.ndarray        # (k,) ascending
+    coefficients: np.ndarray       # (k, n_coeffs) basis coefficients
+    triangle_fields: np.ndarray    # (k, T, 2) prolonged per-triangle fields
+
+
+def _mass_matvec(basis: BasisDevice, mass_blocks: jnp.ndarray, x: jnp.ndarray):
+    """M x with M = P^T diag(g*area) P."""
+    y = prolong(basis, x)
+    return restrict(basis, jnp.einsum("tab,tb->ta", mass_blocks, y))
+
+
+def _mass_diag(basis: BasisDevice, mass_blocks: jnp.ndarray) -> jnp.ndarray:
+    contrib = jnp.einsum("tak,tab,tbk->tk", basis.p_wt, mass_blocks, basis.p_wt)
+    return jax.ops.segment_sum(contrib.ravel(), basis.p_idx.ravel(),
+                               num_segments=basis.n_coeffs)
+
+
+def _mass_matvec_multi(basis: BasisDevice, mass_blocks: jnp.ndarray, x: jnp.ndarray):
+    """M X for X (n, C): columnwise prolong/restrict."""
+    y = jnp.einsum("tak,tkc->tac", basis.p_wt, x[basis.p_idx])
+    gy = jnp.einsum("tab,tbc->tac", mass_blocks, y)
+    contrib = jnp.einsum("tak,tac->tkc", basis.p_wt, gy)
+    return jax.ops.segment_sum(contrib.reshape(-1, x.shape[1]),
+                               jnp.repeat(basis.p_idx.ravel(), 1),
+                               num_segments=basis.n_coeffs)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "cg_tol", "cg_max_iters"))
+def _lanczos(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv, m: int,
+             cg_tol: float, cg_max_iters: int):
+    n = basis.n_coeffs
+    dtype = basis.s_vals.dtype
+    s_diag = jnp.take_along_axis(basis.s_vals, basis.diag_slot[:, None], axis=1)[:, 0]
+    m_diag = _mass_diag(basis, mass_blocks)
+    diag = s_diag + sigma * m_diag
+
+    def mass_mv(x):
+        return _mass_matvec(basis, mass_blocks, x)
+
+    def a_mv(x):
+        return ell_matvec(basis.ell_cols, basis.s_vals, x) + sigma * mass_mv(x)
+
+    def op(x):
+        y, _ = pcg(a_mv, mass_mv(x), diag, tol=cg_tol, max_iters=cg_max_iters)
+        return y
+
+    v0 = v0 - defl_v.T @ (defl_mv @ v0)
+    v0 = v0 / jnp.sqrt(jnp.vdot(v0, mass_mv(v0)))
+    big_v = jnp.zeros((m, n), dtype)
+    big_mv = jnp.zeros((m, n), dtype)
+    alphas = jnp.zeros(m, dtype)
+    betas = jnp.zeros(m, dtype)
+
+    def body(j, carry):
+        big_v, big_mv, alphas, betas, v, beta_prev, v_prev = carry
+        mv = mass_mv(v)
+        big_v = big_v.at[j].set(v)
+        big_mv = big_mv.at[j].set(mv)
+        w = op(v)
+        alpha = jnp.vdot(w, mv)
+        w = w - alpha * v - beta_prev * v_prev
+        # Full M-reorthogonalization, twice; rows beyond j are zero so the
+        # masked block matmuls are safe. Also deflate against previously
+        # accepted eigenvectors (restart path for degenerate clusters).
+        for _ in range(2):
+            coef = big_mv @ w
+            w = w - big_v.T @ coef
+            dcoef = defl_mv @ w
+            w = w - defl_v.T @ dcoef
+        beta = jnp.sqrt(jnp.maximum(jnp.vdot(w, mass_mv(w)), 0.0))
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(beta)
+        v_next = w / jnp.where(beta > 1e-30, beta, 1.0)
+        return (big_v, big_mv, alphas, betas, v_next, beta, v)
+
+    carry = (big_v, big_mv, alphas, betas, v0, jnp.asarray(0.0, dtype),
+             jnp.zeros(n, dtype))
+    big_v, big_mv, alphas, betas, _, _, _ = lax.fori_loop(0, m, body, carry)
+    return big_v, alphas, betas
+
+
+def compute_spectrum(
+    basis: BasisDevice,
+    mass_blocks: jnp.ndarray,     # (T, 2, 2) per-triangle g * area
+    k: int,
+    sigma: float = 1e-8,
+    max_lanczos: int | None = None,
+    cg_tol: float = 1e-10,
+    cg_max_iters: int = 20000,
+    seed: int = 0,
+    max_restarts: int = 4,
+) -> SpectrumResult:
+    """Lowest-k eigenpairs of S x = lambda M x (ComputeSpectrum,
+    VectorLaplacianSpectrum.inl:5-41).
+
+    Restarted deflated Lanczos: each restart deflates against the already
+    accepted eigenvectors, which resolves degenerate clusters that a single
+    Krylov sequence cannot (ARPACK's implicit restarts play the same role).
+    """
+    n = basis.n_coeffs
+    dtype = basis.s_vals.dtype
+    m = max_lanczos or min(n, max(3 * k + 20, 50))
+    rng = np.random.default_rng(seed)
+    sig = jnp.asarray(sigma, dtype)
+    s_diag = jnp.take_along_axis(basis.s_vals, basis.diag_slot[:, None], axis=1)[:, 0]
+    adiag = s_diag + sig * _mass_diag(basis, mass_blocks)
+
+    def a_mv_multi(x):
+        return (ell_matvec(basis.ell_cols, basis.s_vals, x)
+                + sig * _mass_matvec_multi(basis, mass_blocks, x))
+
+    accepted_lams: list = []
+    accepted: list = []      # M-normalized eigenvectors (np.float64)
+    accepted_m: list = []    # M times those vectors
+
+    for _restart in range(max_restarts):
+        # Fixed-shape deflation block (compile once).
+        defl_v = np.zeros((k + 2, n))
+        defl_mv = np.zeros((k + 2, n))
+        for i, (u, mu) in enumerate(zip(accepted, accepted_m)):
+            defl_v[i] = u
+            defl_mv[i] = mu
+        v0 = jnp.asarray(rng.normal(size=n), dtype)
+        big_v, alphas, betas = _lanczos(
+            basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
+            jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters)
+        alphas = np.asarray(alphas, np.float64)
+        betas = np.asarray(betas, np.float64)
+        cut = m
+        tiny = np.nonzero(betas[:-1] < 1e-14)[0]
+        if len(tiny):
+            cut = int(tiny[0]) + 1
+        t_mat = np.diag(alphas[:cut])
+        if cut > 1:
+            t_mat += np.diag(betas[:cut - 1], 1) + np.diag(betas[:cut - 1], -1)
+        theta, y = np.linalg.eigh(t_mat)
+        order = np.argsort(theta)[::-1]
+        theta_sorted = theta[order]
+        with np.errstate(divide="ignore"):
+            lams_all = 1.0 / np.where(np.abs(theta_sorted) > 1e-300, theta_sorted, 1e-300) - float(sigma)
+        v_mat = np.asarray(big_v[:cut], np.float64).T
+        cand = (v_mat @ y[:, order]).T
+
+        # Purification: when M is only semi-definite (e.g. the Whitney
+        # pull-back mass), Ritz vectors carry null(M) components invisible
+        # to the M-inner-product recurrence; one application of
+        # (S + sigma M)^{-1} M / theta annihilates them. Batched multi-rhs CG.
+        take = min(cut, 2 * k + 10)
+        usable = np.abs(theta_sorted[:take]) > 1e-30
+        cand_t = jnp.asarray(cand[:take].T, dtype)
+        b = _mass_matvec_multi(basis, mass_blocks, cand_t)
+        pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol, max_iters=cg_max_iters)
+        pure = np.asarray(pure, np.float64) / theta_sorted[:take][None, :]
+
+        # Residual-based acceptance with progressive M-orthogonalization
+        # (ARPACK purges spurious pairs the same way). Accept a little past
+        # k so degenerate clusters straddling the cut are caught.
+        new_found = 0
+        for i in range(take):
+            if not usable[i]:
+                continue
+            lam_i = lams_all[i]
+            if len(accepted) >= k:
+                kth = np.sort(np.array(accepted_lams))[k - 1]
+                # Only take additional pairs that displace the current k-th.
+                if lam_i > kth * (1 + 1e-9) + 1e-12:
+                    continue
+            lam = lam_i
+            c = pure[:, i]
+            for u, mu in zip(accepted, accepted_m):
+                c = c - (mu @ c) * u
+            cj = jnp.asarray(c, dtype)
+            sx = np.asarray(ell_matvec(basis.ell_cols, basis.s_vals, cj), np.float64)
+            mx = np.asarray(_mass_matvec(basis, mass_blocks, cj), np.float64)
+            mnorm = np.sqrt(abs(c @ mx))
+            if mnorm < 1e-8:
+                continue
+            denom = np.linalg.norm(sx) + abs(lam) * np.linalg.norm(mx) + 1e-300
+            if np.linalg.norm(sx - lam * mx) / denom < 1e-4:
+                accepted_lams.append(lam)
+                accepted.append(c / mnorm)
+                accepted_m.append(mx / mnorm)
+                new_found += 1
+        # Keep restarting until a deflated restart finds nothing new below
+        # the current k-th eigenvalue — degenerate clusters need a fresh
+        # Krylov sequence per extra copy.
+        if len(accepted) >= k and new_found == 0:
+            break
+        if len(accepted) >= k:
+            kth = np.sort(np.array(accepted_lams))[k - 1]
+            if _restart >= 1 and new_found and min(accepted_lams[-new_found:]) > kth * (1 + 1e-6):
+                break
+
+    if len(accepted) < k:
+        raise RuntimeError(
+            f"only {len(accepted)} of {k} eigenpairs converged; increase max_lanczos")
+    order = np.argsort(np.array(accepted_lams))[:k]
+    lams = np.array(accepted_lams)[order]
+    coeffs = np.stack(accepted)[order]
+    fields = np.stack([np.asarray(prolong(basis, jnp.asarray(c, dtype))) for c in coeffs])
+    return SpectrumResult(lams, coeffs, fields)

@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache.
+
+On the tunneled TPU runtime a medium jit (one while_loop body) costs tens of
+seconds to compile; the pipeline's level step costs minutes. The persistent
+cache makes every run after the first start hot.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_ENABLED = False
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    global _ENABLED
+    if _ENABLED:
+        return
+    path = path or os.environ.get("MESHFLOW_JIT_CACHE", os.path.expanduser("~/.cache/meshflow_jax"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _ENABLED = True
+    except Exception:
+        pass

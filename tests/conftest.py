@@ -3,13 +3,16 @@ paths are exercised without a pod (SURVEY.md section 4, item 5)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin prepends itself to jax_platforms no matter what the
+# environment says; force CPU through the config (not just the env var).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

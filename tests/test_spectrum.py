@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.linalg
+
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode
+from meshopticalflow_tpu.geometry.mesh import build_mesh
+from meshopticalflow_tpu.models.base import build_basis
+from meshopticalflow_tpu.ops.assemble import vector_field_mass_blocks
+from meshopticalflow_tpu.solvers.lanczos import compute_spectrum
+from tests.conftest import make_sphere_mesh
+
+
+def _dense_reference_spectrum(host, mesh, k):
+    """ARPACK shift-invert oracle — the same algorithm and mode the
+    reference drives through ARPACK++ (EigenvalueSolver.h:176)."""
+    import scipy.sparse.linalg as spla
+    t, kk = host.p_idx.shape
+    rows = np.repeat(np.arange(2 * t).reshape(t, 2), kk, axis=1).ravel()
+    cols = np.repeat(host.p_idx[:, None, :], 2, axis=1).ravel()
+    p = sp.coo_matrix((host.p_wt.ravel(), (rows, cols)),
+                      shape=(2 * t, host.n_coeffs)).tocsr()
+    g_mass = sp.block_diag([mesh.g[i] * mesh.area[i] for i in range(t)], format="csr")
+    m = (p.T @ g_mass @ p).tocsc()
+    s = sp.csc_matrix(host.smooth)
+    lams, vecs = spla.eigsh(s, k=k, M=m, sigma=1e-8, which="LM")
+    order = np.argsort(lams)
+    return lams[order], vecs[:, order]
+
+
+def test_whitney_spectrum_matches_dense():
+    tris, verts = make_sphere_mesh(1)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    k = 6
+    result = compute_spectrum(basis, mass, k, cg_tol=1e-12, max_lanczos=host.n_coeffs)
+    ref_lams, _ = _dense_reference_spectrum(host, mesh, k)
+    np.testing.assert_allclose(result.eigenvalues, ref_lams, rtol=1e-5, atol=1e-8)
+    # Residual check: ||S x - lambda M x|| small.
+    s = host.smooth
+    t, kk = host.p_idx.shape
+    for lam, c in zip(result.eigenvalues[:3], result.coefficients[:3]):
+        sx = s @ c
+        from meshopticalflow_tpu.models.base import prolong, restrict
+        y = np.asarray(prolong(basis, jnp.asarray(c)))
+        my = np.einsum("tab,tb->ta", mesh.g * mesh.area[:, None, None], y)
+        mx = np.asarray(restrict(basis, jnp.asarray(my)))
+        assert np.linalg.norm(sx - lam * mx) < 1e-4 * max(1.0, abs(lam))
+
+
+def test_connection_spectrum_runs():
+    tris, verts = make_sphere_mesh(1)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.CONNECTION, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    result = compute_spectrum(basis, mass, 4, cg_tol=1e-12, max_lanczos=host.n_coeffs)
+    ref_lams, _ = _dense_reference_spectrum(host, mesh, 4)
+    np.testing.assert_allclose(result.eigenvalues, ref_lams, rtol=1e-4, atol=1e-6)
