@@ -1,0 +1,82 @@
+"""Benchmark: end-to-end halfway alignment of a 2K uv-atlas pair on one chip.
+
+Prints ONE JSON line:
+    {"metric": "texels_per_sec_per_chip_2k_atlas", "value": N,
+     "unit": "texels/s", "vs_baseline": R}
+
+The workload is the reference demo geometry (Example/mesh.ply, subdivided to
+~216k triangles) with its texture pair upsampled to 2048x2048 — the
+BASELINE.md north-star configuration. ``value`` counts atlas texels aligned
+per second of device pipeline time (10 coarse-to-fine levels + final
+halfway advection, host preprocessing excluded); ``vs_baseline`` is the
+ratio against the north-star target of a 2048^2 atlas in 1 s
+(BASELINE.json: no published reference numbers exist, SURVEY.md section 6).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    size = int(os.environ.get("BENCH_ATLAS", "2048"))
+    levels = int(os.environ.get("BENCH_LEVELS", "10"))
+
+    from PIL import Image
+
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.flow.pipeline import FlowProblem
+    from meshopticalflow_tpu.io.png import read_png_rgb, write_png_rgb
+
+    # Upsample the reference demo texture pair to the target atlas size.
+    tmpdir = "/tmp/meshflow_bench"
+    os.makedirs(tmpdir, exist_ok=True)
+    paths = []
+    for name in ("A", "B"):
+        src = f"/root/reference/Example/{name}.png"
+        dst = os.path.join(tmpdir, f"{name}_{size}.png")
+        if not os.path.exists(dst):
+            img = Image.open(src).convert("RGB").resize((size, size), Image.LANCZOS)
+            img.save(dst)
+        paths.append(dst)
+
+    cfg = FlowConfig(levels=levels)
+    t0 = time.time()
+    prob = FlowProblem.from_texture_inputs("/root/reference/Example/mesh.ply",
+                                           tuple(paths), cfg)
+    init_s = time.time() - t0
+
+    t0 = time.time()
+    res = prob.run(verbose=False)
+    run_s = time.time() - t0
+    t0 = time.time()
+    adv = prob.advected_textures()
+    out_s = time.time() - t0
+
+    texels = size * size
+    pipeline_s = run_s + out_s
+    value = texels / pipeline_s
+    north_star = texels / 1.0  # 2048^2 texels aligned in 1 s on one chip
+    result = {
+        "metric": "texels_per_sec_per_chip_2k_atlas",
+        "value": round(value, 1),
+        "unit": "texels/s",
+        "vs_baseline": round(value / north_star, 4),
+        "detail": {
+            "atlas": size,
+            "levels": levels,
+            "init_s": round(init_s, 2),
+            "levels_s": round(run_s, 2),
+            "advect_s": round(out_s, 2),
+            "final_alignment_error": round(float(res.metrics[-1]["alignment_error"]), 4),
+            "triangles": prob.mesh.n_triangles,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

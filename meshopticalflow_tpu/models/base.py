@@ -179,19 +179,38 @@ def update_optical_flow(
     cg_tol: float = 1e-7,
     cg_max_iters: int = 2000,
     cg_chunk: int = 128,
+    use_host_cholesky: bool = False,
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
     chunked ELL-PCG (bounded device time per dispatch), jitted finalize.
 
+    ``use_host_cholesky`` switches the solve to a scipy sparse factorization
+    on host — the correctness oracle mirroring the reference's
+    EigenCholeskySolverLDLt (LinearSolvers.h:340-391).
+
     Returns (new_coeffs, tfield, solve_stats).
     """
-    from meshopticalflow_tpu.solvers.cg import ell_pcg
+    from meshopticalflow_tpu.solvers.cg import CGStats, ell_pcg
 
     vf_smooth_weight = jnp.asarray(vf_smooth_weight, coeffs.dtype)
     sys_vals, dt_vals, rhs, diag = build_flow_system(basis, d_blocks, rhs_t,
                                                      vf_smooth_weight)
-    x, stats = ell_pcg(basis.ell_cols, sys_vals, diag, rhs,
-                       tol=cg_tol, max_iters=cg_max_iters, chunk=cg_chunk)
+    if use_host_cholesky:
+        import numpy as np
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        n, w = basis.ell_cols.shape
+        cols_h = np.asarray(basis.ell_cols).ravel()
+        rows_h = np.repeat(np.arange(n), w)
+        mat = sp.csc_matrix((np.asarray(sys_vals, np.float64).ravel(),
+                             (rows_h, cols_h)), shape=(n, n))
+        x_h = spla.spsolve(mat, np.asarray(rhs, np.float64))
+        x = jnp.asarray(x_h, coeffs.dtype)
+        stats = CGStats(jnp.asarray(0, jnp.int32), jnp.asarray(0.0, coeffs.dtype))
+    else:
+        x, stats = ell_pcg(basis.ell_cols, sys_vals, diag, rhs,
+                           tol=cg_tol, max_iters=cg_max_iters, chunk=cg_chunk)
     new_coeffs, tfield = finalize_flow_step(basis, coeffs, x, dt_vals, rhs)
     return new_coeffs, tfield, stats

@@ -1,0 +1,61 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode
+from meshopticalflow_tpu.flow.fixed import flow_level_fixed
+from meshopticalflow_tpu.parallel import (
+    advect_texture_sharded, make_device_mesh, sharded_level_step)
+from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+
+
+@pytest.fixture(scope="module")
+def problem():
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dog_weight=0.0,
+                     levels=2, dtype="float64")
+    return synthetic_sphere_problem(cfg, subdiv=2)
+
+
+def test_sharded_level_step_matches_single_device(problem):
+    """The 8-device sharded level step reproduces the single-device result."""
+    arrays = problem.arrays
+    dtype = problem.dtype
+    sw = jnp.asarray(3e-3, dtype)
+    vw = jnp.asarray(3e-6, dtype)
+    single = jax.jit(lambda a, c, t, s, v: flow_level_fixed(
+        a, c, t, s, v, smooth_iters=16, flow_iters=16, max_steps=64))
+    c1, t1, e1 = single(arrays, problem.coeffs, problem.tfield, sw, vw)
+
+    mesh = make_device_mesh(8)
+    fn, placed = sharded_level_step(mesh, arrays, smooth_iters=16, flow_iters=16,
+                                    max_steps=64)
+    c8, t8, e8 = fn(placed, problem.coeffs, problem.tfield, sw, vw)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), atol=1e-9)
+    np.testing.assert_allclose(float(e8), float(e1), rtol=1e-9)
+
+
+def test_sharded_texel_advection_matches(problem):
+    from meshopticalflow_tpu.kernels.advect import advect_texture
+
+    arrays = problem.arrays
+    dtype = problem.dtype
+    t_count = problem.mesh.n_triangles
+    rng = np.random.default_rng(0)
+    lanes = ((3 * t_count) // 8 + 1) * 8
+    src_t = jnp.asarray(np.concatenate([
+        np.tile(np.arange(t_count, dtype=np.int32), 3),
+        np.full(lanes - 3 * t_count, -1, np.int32)]))
+    src_p = jnp.asarray(rng.uniform(0.1, 0.4, (lanes, 2)), dtype)
+    tri_uvs = jnp.asarray(rng.uniform(0, 1, (t_count, 3, 2)), dtype)
+    texture = jnp.asarray(rng.uniform(0, 255, (32, 32, 3)), dtype)
+    tfield = jnp.asarray(rng.normal(size=(t_count, 2)) * 0.05, dtype)
+
+    ref = advect_texture(arrays.tm, tfield, tri_uvs, texture, src_t, src_p,
+                         jnp.asarray(0.5, dtype), 1e-2, 64)
+    mesh = make_device_mesh(8)
+    out = advect_texture_sharded(mesh, arrays.tm, tfield, tri_uvs, texture,
+                                 src_t, src_p, 0.5, max_steps=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
