@@ -116,7 +116,8 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                  config: FlowConfig):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
-                               use_host_cholesky=config.use_host_cholesky)
+                               use_host_cholesky=config.use_host_cholesky,
+                               refine=config.flow_refine)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,

@@ -180,6 +180,7 @@ def update_optical_flow(
     cg_max_iters: int = 2000,
     cg_chunk: int = 128,
     use_host_cholesky: bool = False,
+    refine: bool = True,
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -209,6 +210,13 @@ def update_optical_flow(
         x_h = spla.spsolve(mat, np.asarray(rhs, np.float64))
         x = jnp.asarray(x_h, coeffs.dtype)
         stats = CGStats(jnp.asarray(0, jnp.int32), jnp.asarray(0.0, coeffs.dtype))
+    elif refine:
+        # Mixed-precision iterative refinement: reach float64-direct-solve
+        # residual quality with f32 device CG (solvers/refine.py).
+        from meshopticalflow_tpu.solvers.refine import ell_solve_refined
+        x, stats = ell_solve_refined(basis.ell_cols, sys_vals, diag, rhs,
+                                     inner_tol=max(cg_tol, 1e-6),
+                                     inner_iters=cg_max_iters, chunk=cg_chunk)
     else:
         x, stats = ell_pcg(basis.ell_cols, sys_vals, diag, rhs,
                            tol=cg_tol, max_iters=cg_max_iters, chunk=cg_chunk)

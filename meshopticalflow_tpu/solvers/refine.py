@@ -1,0 +1,102 @@
+"""Mixed-precision iterative refinement for the level flow solves.
+
+The reference factorizes in double precision (EigenCholeskySolverLDLt,
+LinearSolvers.h:340-391). On TPU the device solve runs in float32; for the
+nearly-singular Gauss-Newton systems (data term ~ rank-deficient along
+isophotes + tiny lambda*S) a 1e-7 relative residual still leaves O(1)
+solution error along near-null directions — observed as large spurious
+smooth flows. Classical iterative refinement fixes this at f32 speed:
+
+    x = 0  (float64, host)
+    repeat: r = b - A x (float64 CSR on host) ; e = CG_f32(A, r) ; x += e
+
+Each round multiplies the residual by the f32 solver's reduction factor, so
+a few rounds reach ~1e-13 relative residual — the f64-direct-solve quality
+the reference gets, without f64 device math (emulated and slow on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.solvers.cg import CGStats, ell_pcg
+
+# Host CSR pattern cache keyed by the ELL cols array identity (weakref-guarded
+# against id reuse after garbage collection).
+import weakref
+
+_PATTERN_CACHE: Dict[int, Tuple[object, np.ndarray, np.ndarray]] = {}
+
+
+def _host_csr(cols: jnp.ndarray, vals: jnp.ndarray) -> sp.csr_matrix:
+    key = id(cols)
+    entry = _PATTERN_CACHE.get(key)
+    if entry is None or entry[0]() is not cols:
+        cols_h = np.asarray(cols)
+        n, w = cols_h.shape
+        rows_h = np.repeat(np.arange(n, dtype=np.int64), w)
+        _PATTERN_CACHE[key] = (weakref.ref(cols), rows_h, cols_h.astype(np.int64).ravel())
+        if len(_PATTERN_CACHE) > 8:
+            _PATTERN_CACHE.pop(next(iter(_PATTERN_CACHE)))
+        entry = _PATTERN_CACHE[key]
+    _, rows_h, cols_flat = entry
+    n = cols.shape[0]
+    return sp.csr_matrix((np.asarray(vals, np.float64).ravel(), (rows_h, cols_flat)),
+                         shape=(n, n))
+
+
+def ell_solve_refined(
+    cols: jnp.ndarray,
+    vals: jnp.ndarray,        # (N, W) float32 system values
+    diag: jnp.ndarray,
+    b: jnp.ndarray,           # (N,)
+    tol: float = 1e-12,
+    max_rounds: int = 6,
+    inner_tol: float = 1e-6,
+    inner_iters: int = 2000,
+    chunk: int = 128,
+) -> Tuple[jnp.ndarray, CGStats]:
+    """Solve A x = b to ~float64 residual accuracy. Returns (x as b.dtype,
+    stats with total inner iterations and the final f64 relative residual)."""
+    a_host = _host_csr(cols, vals)
+    b_host = np.asarray(b, np.float64)
+    b_norm = float(np.linalg.norm(b_host))
+    if b_norm == 0:
+        return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                          jnp.asarray(0.0, b.dtype))
+    x = np.zeros_like(b_host)
+    total_iters = 0
+    best_x, best_rel = x, 1.0
+    prev_rel = np.inf
+    for _ in range(max_rounds):
+        r = b_host - a_host @ x
+        rel = float(np.linalg.norm(r)) / b_norm
+        if rel < best_rel:
+            best_x, best_rel = x, rel
+        # Stop at the target, near the float64 noise floor, or at stagnation
+        # (<2x improvement) — the next round's rhs would be numerical noise
+        # outside range(A), and CG on that can diverge for semi-definite
+        # systems.
+        if rel < max(tol, 1e-11) or rel > 0.5 * prev_rel:
+            break
+        prev_rel = rel
+        # Scale the residual toward O(1) so a low-precision inner solve keeps
+        # significance even when the outer residual is ~1e-10.
+        scale = float(np.max(np.abs(r))) or 1.0
+        r_dev = jnp.asarray(r / scale, b.dtype)
+        e, stats = ell_pcg(cols, vals, diag, r_dev, tol=inner_tol,
+                           max_iters=inner_iters, chunk=chunk)
+        total_iters += int(stats.iterations)
+        x = x + np.asarray(e, np.float64) * scale
+    else:
+        r = b_host - a_host @ x
+        rel = float(np.linalg.norm(r)) / b_norm
+        if rel < best_rel:
+            best_x, best_rel = x, rel
+    return jnp.asarray(best_x, b.dtype), CGStats(jnp.asarray(total_iters, jnp.int32),
+                                                 jnp.asarray(best_rel, b.dtype))
