@@ -33,7 +33,7 @@ from flax import struct
 from meshopticalflow_tpu.config import FlowConfig
 from meshopticalflow_tpu.geometry.mesh import HostMesh, build_mesh
 from meshopticalflow_tpu.geometry.rasterize import TextureSource, rasterize_texture_source
-from meshopticalflow_tpu.geometry.subdivide import subdivide_textured_mesh
+from meshopticalflow_tpu.geometry.subdivide import subdivide_textured_mesh, subdivide_tracked
 from meshopticalflow_tpu.io.ply import read_triangle_mesh, write_ply_colored
 from meshopticalflow_tpu.io.png import read_png_rgb, write_png_rgb
 from meshopticalflow_tpu.kernels.advect import (
@@ -113,21 +113,22 @@ def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig)
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
-                 config: FlowConfig):
+                 config: FlowConfig, coarse=None):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
-                               refine=config.flow_refine)
+                               refine=config.flow_refine, coarse=coarse)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
-                config: FlowConfig):
+                config: FlowConfig, coarse=None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
-    one jitted advect+data-term stage, chunked-PCG flow solve."""
+    one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
+    solve."""
     smoothed, sm_stats = _stage_smooth(arrays, s_weight, config)
     d_blocks, rhs_t, align_err = _stage_resample(arrays, tfield, smoothed, config)
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
-                                                    v_weight, config)
+                                                    v_weight, config, coarse)
     return new_coeffs, new_tfield, dict(
         smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
         flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
@@ -225,6 +226,15 @@ class FlowProblem:
             self._exp_remap_texels()
         self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
         self.tfield = jnp.zeros((mesh.n_triangles, 2), dtype)
+        self.coarse = None
+
+    def attach_coarse_space(self, tris0, verts0, parent, bary) -> None:
+        """Build the two-level geometric coarse space (models/coarse.py)
+        from subdivision parent tracking."""
+        from meshopticalflow_tpu.models.coarse import build_coarse_space
+        coarse_mesh = build_mesh(tris0, vertices=verts0)
+        self.coarse = build_coarse_space(self.config, self.mesh, self.basis_host,
+                                         coarse_mesh, parent, bary)
 
     # -- construction ----------------------------------------------------
 
@@ -238,9 +248,12 @@ class FlowProblem:
             raise ValueError(f"{mesh_path} has no texture coordinates")
         diag = float(np.linalg.norm(data.vertices.max(0) - data.vertices.min(0)))
         tris, verts, uvs = data.faces, data.vertices, data.face_uvs
+        coarse = None
         edge_len = config.subdivide_edge_length * diag
         if edge_len > 0:
-            tris, verts, uvs = subdivide_textured_mesh(tris, verts, uvs, edge_len)
+            tris0, verts0 = tris, verts
+            tris, verts, uvs, parent, bary = subdivide_tracked(tris, verts, uvs, edge_len)
+            coarse = (tris0, verts0, parent, bary)
         tex0 = read_png_rgb(texture_paths[0])
         tex1 = read_png_rgb(texture_paths[1])
         if tex0.shape != tex1.shape:
@@ -252,8 +265,11 @@ class FlowProblem:
         mesh = build_mesh(tris, vertices=verts)
         h, w = tex0.shape[:2]
         src = rasterize_texture_source(uvs, w, h, config.pad_radius)
-        return cls(config, mesh, signals, vertices=verts, texture_source=src,
-                   tri_uvs=uvs, textures=np.stack([tex0, tex1]))
+        problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
+                      tri_uvs=uvs, textures=np.stack([tex0, tex1]))
+        if coarse is not None and config.use_multigrid:
+            problem.attach_coarse_space(*coarse)
+        return problem
 
     @classmethod
     def from_vertex_inputs(cls, path0: str, path1: str, config: FlowConfig) -> "FlowProblem":
@@ -302,7 +318,7 @@ class FlowProblem:
             t0 = time.time()
             coeffs, tfield, stats = _level_step(
                 self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
-                jnp.asarray(v_weight, self.dtype), cfg)
+                jnp.asarray(v_weight, self.dtype), cfg, self.coarse)
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)

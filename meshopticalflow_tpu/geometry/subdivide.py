@@ -22,7 +22,9 @@ def _subdivide_pass(
     vertices: np.ndarray,
     uvs: Optional[np.ndarray],
     edge_length: float,
-) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], int]:
+    bary: Optional[np.ndarray] = None,   # (T, 3, 2) vertex barys in root tri
+    parent: Optional[np.ndarray] = None,  # (T,) root triangle index
+) -> tuple:
     nv = len(vertices)
     p0 = vertices[triangles]                      # (T, 3, 3)
     p1 = vertices[triangles[:, [1, 2, 0]]]
@@ -30,7 +32,7 @@ def _subdivide_pass(
     split = l2 > edge_length * edge_length
     n_split = int(split.sum())
     if n_split == 0:
-        return triangles, vertices, uvs, 0
+        return triangles, vertices, uvs, parent, 0
 
     a = triangles.astype(np.int64)
     b = triangles[:, [1, 2, 0]].astype(np.int64)
@@ -52,12 +54,14 @@ def _subdivide_pass(
     total = int(offsets[-1])
     out_tris = np.empty((total, 3), np.int64)
     if uvs is not None:
-        uv_mid = np.empty(triangles.shape + (2,), np.float64)
+        d = uvs.shape[-1]
+        uv_mid = np.empty(triangles.shape + (d,), np.float64)
         uv_mid[split] = (uvs[split] + uvs[:, [1, 2, 0]][split]) / 2.0
-        out_uvs = np.empty((total, 3, 2), np.float64)
+        out_uvs = np.empty((total, 3, d), np.float64)
     else:
         uv_mid = None
         out_uvs = None
+    out_parent = None if parent is None else np.repeat(parent, out_count)
 
     def emit(rows, local_slot, i0, i1, i2, u0=None, u1=None, u2=None):
         dst = offsets[rows] + local_slot
@@ -113,7 +117,7 @@ def _subdivide_pass(
         else:
             emit(rows, 3, e[rows, 0], e[rows, 1], e[rows, 2],
                  uv_mid[rows, 0], uv_mid[rows, 1], uv_mid[rows, 2])
-    return out_tris, vertices, out_uvs, n_split
+    return out_tris, vertices, out_uvs, out_parent, n_split
 
 
 def subdivide_mesh(triangles: np.ndarray, vertices: np.ndarray,
@@ -122,7 +126,7 @@ def subdivide_mesh(triangles: np.ndarray, vertices: np.ndarray,
     triangles = np.asarray(triangles, np.int64)
     vertices = np.asarray(vertices, np.float64)
     while True:
-        triangles, vertices, _, n = _subdivide_pass(triangles, vertices, None, edge_length)
+        triangles, vertices, _, _, n = _subdivide_pass(triangles, vertices, None, edge_length)
         if n == 0:
             return triangles.astype(np.int32), vertices
 
@@ -135,6 +139,47 @@ def subdivide_textured_mesh(
     vertices = np.asarray(vertices, np.float64)
     uvs = np.asarray(uvs, np.float64)
     while True:
-        triangles, vertices, uvs, n = _subdivide_pass(triangles, vertices, uvs, edge_length)
+        triangles, vertices, uvs, _, n = _subdivide_pass(triangles, vertices, uvs, edge_length)
         if n == 0:
             return triangles.astype(np.int32), vertices, uvs
+
+
+CORNER_BARY = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+def subdivide_tracked(
+    triangles: np.ndarray,
+    vertices: np.ndarray,
+    uvs: Optional[np.ndarray],
+    edge_length: float,
+):
+    """Subdivision with coarse-parent tracking for geometric multigrid.
+
+    Returns (tris, verts, uvs_or_None, parent (T,), bary (T, 3, 2)) where
+    ``parent[t]`` is the ROOT (pre-subdivision) triangle containing fine
+    triangle t and ``bary[t, j]`` the chart coordinates of its corners inside
+    that root triangle. Barycentric tracking rides the wedge-attribute
+    propagation (midpoint rule), exactly like the uv carrying.
+    """
+    triangles = np.asarray(triangles, np.int64)
+    vertices = np.asarray(vertices, np.float64)
+    t0 = len(triangles)
+    bary0 = np.broadcast_to(CORNER_BARY[None], (t0, 3, 2)).copy()
+    if uvs is not None:
+        wedge = np.concatenate([np.asarray(uvs, np.float64), bary0], axis=2)
+    else:
+        wedge = bary0
+    parent = np.arange(t0, dtype=np.int64)
+    while True:
+        triangles, vertices, wedge, parent, n = _subdivide_pass(
+            triangles, vertices, wedge, edge_length, parent=parent)
+        if n == 0:
+            break
+    if uvs is not None:
+        out_uvs = wedge[:, :, :2]
+        bary = wedge[:, :, 2:]
+    else:
+        out_uvs = None
+        bary = wedge
+    return (triangles.astype(np.int32), vertices, out_uvs,
+            parent.astype(np.int32), bary)

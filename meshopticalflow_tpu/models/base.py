@@ -155,7 +155,16 @@ def build_flow_system(basis: BasisDevice, d_blocks, rhs_t, vf_smooth_weight):
     sys_vals = dt_vals + vf_smooth_weight * basis.s_vals
     rhs = reduce_rhs(basis, rhs_t) * scale
     diag = jnp.take_along_axis(sys_vals, basis.diag_slot[:, None], axis=1)[:, 0]
-    return sys_vals, dt_vals, rhs, diag
+    return sys_vals, dt_vals, rhs, diag, scale
+
+
+@jax.jit
+def coarse_system_vals(coarse_dev: "BasisDevice", d_blocks, scale, vf_smooth_weight):
+    """Galerkin coarse system values: scale * Q^T D Q + lambda * S0 — the
+    exact P0^T A P0 of the fine system (models/coarse.py)."""
+    n, w = coarse_dev.ell_cols.shape
+    dt0 = data_term_ell_vals(coarse_dev, d_blocks) * scale
+    return dt0.reshape(n, w) + vf_smooth_weight * coarse_dev.s_vals
 
 
 @jax.jit
@@ -181,6 +190,7 @@ def update_optical_flow(
     cg_chunk: int = 128,
     use_host_cholesky: bool = False,
     refine: bool = True,
+    coarse=None,   # models.coarse.CoarseSpace device handles (two-level MG)
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -188,15 +198,16 @@ def update_optical_flow(
 
     ``use_host_cholesky`` switches the solve to a scipy sparse factorization
     on host — the correctness oracle mirroring the reference's
-    EigenCholeskySolverLDLt (LinearSolvers.h:340-391).
+    EigenCholeskySolverLDLt (LinearSolvers.h:340-391). ``coarse`` enables the
+    two-level geometric-multigrid PCG (solvers/twolevel.py).
 
     Returns (new_coeffs, tfield, solve_stats).
     """
     from meshopticalflow_tpu.solvers.cg import CGStats, ell_pcg
 
     vf_smooth_weight = jnp.asarray(vf_smooth_weight, coeffs.dtype)
-    sys_vals, dt_vals, rhs, diag = build_flow_system(basis, d_blocks, rhs_t,
-                                                     vf_smooth_weight)
+    sys_vals, dt_vals, rhs, diag, scale = build_flow_system(basis, d_blocks, rhs_t,
+                                                            vf_smooth_weight)
     if use_host_cholesky:
         import numpy as np
         import scipy.sparse as sp
@@ -210,6 +221,24 @@ def update_optical_flow(
         x_h = spla.spsolve(mat, np.asarray(rhs, np.float64))
         x = jnp.asarray(x_h, coeffs.dtype)
         stats = CGStats(jnp.asarray(0, jnp.int32), jnp.asarray(0.0, coeffs.dtype))
+    elif coarse is not None:
+        # Two-level geometric MG-PCG, wrapped in mixed-precision iterative
+        # refinement for float64-grade residuals.
+        from meshopticalflow_tpu.solvers.refine import refine_loop
+        from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+        c_vals = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
+                                    vf_smooth_weight)
+        solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,
+                                coarse.coarse_dev.ell_cols, c_vals,
+                                coarse.p0_idx_dev, coarse.p0_wt_dev)
+        if refine:
+            x, stats = refine_loop(
+                basis.ell_cols, sys_vals, rhs,
+                lambda r: solver.solve(r, tol=max(cg_tol, 1e-6),
+                                       max_iters=min(cg_max_iters, 120)))
+        else:
+            x, stats = solver.solve(rhs, tol=cg_tol,
+                                    max_iters=min(cg_max_iters, 200))
     elif refine:
         # Mixed-precision iterative refinement: reach float64-direct-solve
         # residual quality with f32 device CG (solvers/refine.py).

@@ -1,0 +1,185 @@
+"""Two-level geometric coarse spaces for the flow solves.
+
+The fine mesh comes from midpoint subdivision of the input mesh
+(OpticalFlow.cpp:714); subdivide_tracked records, for every fine triangle,
+its ROOT coarse triangle and the barycentric coordinates of its corners
+there. From that, a coarse space for each vector-field basis follows in
+closed form:
+
+  * Whitney: the coarse Whitney 1-form is affine, so its integral along a
+    straight fine edge is exact by the midpoint rule — P0[e, k] is the
+    coarse form W_k evaluated at the fine edge midpoint dotted with the
+    fine edge vector (tangential continuity makes the construction
+    independent of which side of a coarse edge evaluates it);
+  * Conformal: hat interpolation of the potentials at fine vertices;
+  * Connection: the chart Jacobian J_t = [b1-b0 | b2-b0] of the fine
+    triangle inside its parent maps coarse chart vectors to fine chart
+    vectors by J_t^{-1}.
+
+The composed prolongation Q = P_fine @ P0 again has the per-triangle
+fixed-fan-in structure of a basis, so the coarse Galerkin system
+A0 = P0^T A P0 = Q^T D Q + lambda * (P0^T S P0) is assembled on device by
+the SAME machinery as the fine one (models.base.finalize_basis /
+build_flow_system) from the same per-triangle data blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode
+from meshopticalflow_tpu.geometry.mesh import HAT_GRADS, HostMesh
+from meshopticalflow_tpu.models.base import BasisDevice, BasisHost, build_basis, finalize_basis
+from meshopticalflow_tpu.models.whitney import edge_reduction
+
+
+@dataclasses.dataclass
+class CoarseSpace:
+    """Host + device handles of the coarse level."""
+
+    coarse_host: BasisHost          # composed (fine-triangle) data structure
+    coarse_dev: BasisDevice         # device system with Galerkin S0
+    p0: sp.csr_matrix               # (n_fine, n_coarse) coefficient transfer
+    p0_idx: np.ndarray              # (n_fine, K0) padded gather form of p0
+    p0_wt: np.ndarray
+
+    @property
+    def p0_idx_dev(self):
+        if not hasattr(self, "_p0_idx_dev"):
+            object.__setattr__(self, "_p0_idx_dev", jnp.asarray(self.p0_idx, jnp.int32))
+        return self._p0_idx_dev
+
+    @property
+    def p0_wt_dev(self):
+        if not hasattr(self, "_p0_wt_dev"):
+            object.__setattr__(self, "_p0_wt_dev",
+                               jnp.asarray(self.p0_wt, self.coarse_dev.p_wt.dtype))
+        return self._p0_wt_dev
+
+
+def _hat(bary: np.ndarray) -> np.ndarray:
+    """(..., 3) hat-function values at chart points (..., 2)."""
+    return np.stack([1.0 - bary[..., 0] - bary[..., 1], bary[..., 0], bary[..., 1]], -1)
+
+
+def build_coarse_space(
+    config: FlowConfig,
+    fine_mesh: HostMesh,
+    fine_host: BasisHost,
+    coarse_mesh: HostMesh,
+    parent: np.ndarray,    # (T_f,)
+    bary: np.ndarray,      # (T_f, 3, 2)
+) -> CoarseSpace:
+    mode = VectorFieldMode(config.vf_mode)
+    t_f = fine_mesh.n_triangles
+    coarse_host_native, _ = build_basis(coarse_mesh, config)
+    n_c = coarse_host_native.n_coeffs
+    n_f = fine_host.n_coeffs
+    parent = np.asarray(parent, np.int64)
+    bary = np.asarray(bary, np.float64)
+
+    if mode == VectorFieldMode.WHITNEY:
+        from meshopticalflow_tpu.models.whitney import edge_reduction as er
+        red_c, sign_c, _ = er(coarse_mesh.opp)
+        red_f, sign_f, expanded = er(fine_mesh.opp)
+        t = expanded // 3
+        j = expanded % 3
+        tau = parent[t]
+        p1 = bary[t, (j + 1) % 3]
+        p2 = bary[t, (j + 2) % 3]
+        m = (p1 + p2) / 2.0
+        d = p2 - p1
+        lam = _hat(m)
+        gd = d @ HAT_GRADS.T
+        rows, cols, vals = [], [], []
+        for k in range(3):
+            k1, k2 = (k + 1) % 3, (k + 2) % 3
+            w = lam[:, k1] * gd[:, k2] - lam[:, k2] * gd[:, k1]
+            rows.append(np.arange(n_f))
+            cols.append(red_c[3 * tau + k])
+            vals.append(w * sign_c[3 * tau + k])
+        p0 = sp.coo_matrix((np.concatenate(vals),
+                            (np.concatenate(rows), np.concatenate(cols))),
+                           shape=(n_f, n_c)).tocsr()
+    elif mode == VectorFieldMode.CONFORMAL:
+        if config.divergence_free:
+            raise NotImplementedError("coarse space for divFree conformal")
+        v_f = fine_mesh.n_vertices
+        v_c = coarse_mesh.n_vertices
+        # One (triangle, corner) witness per fine vertex.
+        first_t = np.full(v_f, -1, np.int64)
+        first_c = np.zeros(v_f, np.int64)
+        tri = fine_mesh.triangles.astype(np.int64)
+        for c in range(2, -1, -1):
+            first_t[tri[:, c]] = np.arange(t_f)
+            first_c[tri[:, c]] = c
+        assert (first_t >= 0).all()
+        b_v = bary[first_t, first_c]               # (V_f, 2)
+        lam = _hat(b_v)                            # (V_f, 3)
+        tau = parent[first_t]
+        ctri = coarse_mesh.triangles.astype(np.int64)[tau]   # (V_f, 3)
+        rows = np.repeat(np.arange(v_f), 3)
+        cols = ctri.ravel()
+        vals = lam.ravel()
+        half = sp.coo_matrix((vals, (rows, cols)), shape=(v_f, v_c)).tocsr()
+        p0 = sp.block_diag([half, half], format="csr")
+    else:  # CONNECTION
+        jac = np.stack([bary[:, 1] - bary[:, 0], bary[:, 2] - bary[:, 0]], axis=-1)
+        jac_inv = np.linalg.inv(jac)               # (T_f, 2, 2)
+        rows = (2 * np.arange(t_f, dtype=np.int64)[:, None, None]
+                + np.arange(2)[None, :, None] + np.zeros((1, 1, 2), np.int64)).ravel()
+        cols = (2 * parent[:, None, None] + np.zeros((1, 2, 1), np.int64)
+                + np.arange(2)[None, None, :]).ravel()
+        p0 = sp.coo_matrix((jac_inv.ravel(), (rows, cols)), shape=(n_f, n_c)).tocsr()
+
+    # Galerkin coarse smoothness.
+    s0 = (p0.T @ fine_host.smooth @ p0).tocsr()
+
+    # Composed per-fine-triangle weights Q = P_fine P0, aligned to the coarse
+    # slot order p_idx_c[tau].
+    k_f = fine_host.p_idx.shape[1]
+    k_c = coarse_host_native.p_idx.shape[1]
+    tau_of_t = parent
+    comp_idx = coarse_host_native.p_idx[tau_of_t]            # (T_f, K_c)
+    # rho[t, j, k0] = P0[fine coeff (t,j), coarse slot k0 of tau]
+    p0_csr = p0.tocsr()
+    fine_ids = fine_host.p_idx                                # (T_f, K_f)
+    rho = np.zeros((t_f, k_f, k_c))
+    # Extract P0 rows (<= K_c entries each, all within tau's slots).
+    indptr, indices, data = p0_csr.indptr, p0_csr.indices, p0_csr.data
+    # Build a dense-by-slot lookup per (t, j).
+    for jf in range(k_f):
+        fid = fine_ids[:, jf]
+        starts, ends = indptr[fid], indptr[fid + 1]
+        max_nnz = int((ends - starts).max()) if len(fid) else 0
+        for o in range(max_nnz):
+            pos = starts + o
+            valid = pos < ends
+            col = np.where(valid, indices[np.minimum(pos, len(indices) - 1)], -1)
+            val = np.where(valid, data[np.minimum(pos, len(data) - 1)], 0.0)
+            # locate col within comp_idx[t] (K_c slots)
+            hit = comp_idx == col[:, None]                    # (T_f, K_c)
+            k0 = np.argmax(hit, axis=1)
+            ok = valid & hit.any(axis=1)
+            rho[np.arange(t_f)[ok], jf, k0[ok]] += val[ok]
+    comp_wt = np.einsum("taj,tjk->tak", fine_host.p_wt, rho)  # (T_f, 2, K_c)
+
+    coarse_host = BasisHost("coarse-" + fine_host.name, n_c, comp_idx, comp_wt, s0)
+    coarse_dev = finalize_basis(coarse_host, dtype=jnp.dtype(config.dtype))
+
+    # Padded gather form of P0 for transfers.
+    k0_max = int(np.diff(p0_csr.indptr).max())
+    p0_idx = np.zeros((n_f, k0_max), np.int64)
+    p0_wt = np.zeros((n_f, k0_max), np.float64)
+    nnz = np.diff(p0_csr.indptr)
+    rr = np.repeat(np.arange(n_f), nnz)
+    ss = np.arange(p0_csr.nnz) - np.repeat(p0_csr.indptr[:-1], nnz)
+    p0_idx[rr, ss] = p0_csr.indices
+    p0_wt[rr, ss] = p0_csr.data
+    return CoarseSpace(coarse_host, coarse_dev, p0_csr, p0_idx, p0_wt)

@@ -50,6 +50,44 @@ def _host_csr(cols: jnp.ndarray, vals: jnp.ndarray) -> sp.csr_matrix:
                          shape=(n, n))
 
 
+def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
+                max_rounds: int = 5):
+    """Iterative refinement around an arbitrary inner solver.
+
+    ``inner_solve(r_device) -> (e_device, CGStats)`` approximately solves
+    A e = r; residuals are evaluated in float64 on host.
+    """
+    a_host = _host_csr(cols, vals)
+    b_host = np.asarray(b, np.float64)
+    b_norm = float(np.linalg.norm(b_host))
+    if b_norm == 0:
+        return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                          jnp.asarray(0.0, b.dtype))
+    x = np.zeros_like(b_host)
+    total_iters = 0
+    best_x, best_rel = x, np.inf
+    prev_rel = np.inf
+    for _ in range(max_rounds):
+        r = b_host - a_host @ x
+        rel = float(np.linalg.norm(r)) / b_norm
+        if rel < best_rel:
+            best_x, best_rel = x, rel
+        if rel < max(tol, 1e-11) or rel > 0.5 * prev_rel:
+            break
+        prev_rel = rel
+        scale = float(np.max(np.abs(r))) or 1.0
+        e, stats = inner_solve(jnp.asarray(r / scale, b.dtype))
+        total_iters += int(stats.iterations)
+        x = x + np.asarray(e, np.float64) * scale
+    else:
+        r = b_host - a_host @ x
+        rel = float(np.linalg.norm(r)) / b_norm
+        if rel < best_rel:
+            best_x, best_rel = x, rel
+    return jnp.asarray(best_x, b.dtype), CGStats(jnp.asarray(total_iters, jnp.int32),
+                                                 jnp.asarray(min(best_rel, 1e30), b.dtype))
+
+
 def ell_solve_refined(
     cols: jnp.ndarray,
     vals: jnp.ndarray,        # (N, W) float32 system values
