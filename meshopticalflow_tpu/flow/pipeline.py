@@ -324,7 +324,7 @@ class FlowProblem:
                          seconds=time.time() - t0)
             metrics.append(stats)
             if verbose:
-                print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                print(json.dumps({k: (float(f"{v:.6g}") if isinstance(v, float) else v)
                                   for k, v in stats.items()}))
             s_weight *= cfg.scalar_weight_multiplier
             if v_weight * cfg.vf_weight_multiplier > cfg.vf_smooth_weight_threshold:
