@@ -24,4 +24,13 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmul/einsum default precision demotes float32 operands to bfloat16
+# on the MXU (~3 significant digits). This framework's chart transforms,
+# data terms, and CG dot products are all small einsums where that is a
+# correctness problem (observed: systematic 1e-3-level drift per edge
+# crossing in the tracing kernel). Force true float32 MXU passes.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode, ConnectionMode
