@@ -97,19 +97,49 @@ def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig):
                          tol=config.cg_tol, max_iters=config.cg_max_iters)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig):
-    """Advect both smoothed signals by -1/2 / +1/2 and build the data term
-    plus the alignment-error diagnostic (OpticalFlow.cpp:439-470, 1012-1023)."""
+@functools.partial(jax.jit, static_argnames=("min_step", "max_steps"))
+def _trace_pair(tm: TraceMesh, tfield, dtype_probe, min_step, max_steps):
+    """Barycenter lanes advected by -1/2 (first half) and +1/2 (second)."""
+    t_count = tm.n_triangles
+    t0 = jnp.tile(jnp.arange(t_count, dtype=jnp.int32), 2)
+    p0 = jnp.full((2 * t_count, 2), 1.0 / 3.0, dtype_probe.dtype)
+    times = jnp.concatenate([jnp.full(t_count, -0.5, dtype_probe.dtype),
+                             jnp.full(t_count, 0.5, dtype_probe.dtype)])
+    from meshopticalflow_tpu.kernels.tracing import flow_field_trace
+    return flow_field_trace(tm, tfield, times, t0, p0, min_step, max_steps)
+
+
+@jax.jit
+def _dataterm_from_samples(arrays: ProblemArrays, smoothed, t1, p1):
     c = arrays.signals.shape[1] // 2
-    resampled = resample_signal_pair(arrays.tm, tfield, smoothed, -0.5, 0.5,
-                                     config.flow_min_step, config.flow_max_steps)
+    t_count = arrays.tm.n_triangles
+    sampled = sample_vertex_signal(arrays.tm.triangles, smoothed, t1, p1)
+    from meshopticalflow_tpu.utils.compat import concat_columns
+    both = concat_columns(sampled[:t_count, :c], sampled[t_count:, c:])
+    flat_idx = arrays.tm.triangles.ravel()
+    out = jax.ops.segment_sum(jnp.repeat(both, 3, axis=0), flat_idx,
+                              num_segments=smoothed.shape[0])
+    counts = jax.ops.segment_sum(jnp.ones_like(flat_idx, smoothed.dtype), flat_idx,
+                                 num_segments=smoothed.shape[0])
+    resampled = out / jnp.maximum(counts, 1.0)[:, None]
     res0, res1 = resampled[:, :c], resampled[:, c:]
     d_blocks, rhs_t = data_term_blocks(arrays.tm.triangles, arrays.area, res0, res1)
     diff = res1 - res0
     mdiff = ell_matvec(arrays.smooth_ops.cols, arrays.smooth_ops.mass_vals, diff)
     align_err = jnp.sum(diff * mdiff)
     return d_blocks, rhs_t, align_err
+
+
+def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig):
+    """Advect both smoothed signals by -1/2 / +1/2 and build the data term
+    plus the alignment-error diagnostic (OpticalFlow.cpp:439-470, 1012-1023).
+
+    The tracing while_loop runs as its OWN dispatch: on the experimental
+    axon TPU backend, fusing it with the downstream gather/segment-sum graph
+    miscompiles (lane results differ from the standalone loop)."""
+    t1, p1 = _trace_pair(arrays.tm, tfield, smoothed,
+                         config.flow_min_step, config.flow_max_steps)
+    return _dataterm_from_samples(arrays, smoothed, t1, p1)
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,

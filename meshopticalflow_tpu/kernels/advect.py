@@ -76,7 +76,10 @@ def resample_signal_pair(
         jnp.full(t_count, jnp.asarray(length1, values.dtype))])
     t1, p1 = flow_field_trace(tm, vfield, times, t0, p0, min_step, max_steps)
     sampled = sample_vertex_signal(tm.triangles, values, t1, p1)   # (2T, 2C)
-    both = jnp.concatenate([sampled[:t_count, :c], sampled[t_count:, c:]], axis=1)  # (T, 2C)
+    # concat_columns (not jnp.concatenate): see utils/compat.py for the
+    # axon-backend slice+concat miscompilation this avoids.
+    from meshopticalflow_tpu.utils.compat import concat_columns
+    both = concat_columns(sampled[:t_count, :c], sampled[t_count:, c:])  # (T, 2C)
     flat_idx = tm.triangles.ravel()
     contrib = jnp.repeat(both, 3, axis=0)
     out = jax.ops.segment_sum(contrib, flat_idx, num_segments=n_vertices)
