@@ -92,7 +92,17 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
     return jnp.concatenate([sig[0], sig[1]], axis=1)
 
 
-def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig):
+def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
+                  vcoarse=None):
+    if vcoarse is not None:
+        from meshopticalflow_tpu.flow.signal import _smooth_system
+        from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+        sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
+        c_vals = vcoarse.m0_vals + s_weight * vcoarse.k0_vals
+        solver = TwoLevelSolver(arrays.smooth_ops.cols, sys_vals, diag,
+                                vcoarse.cols0, c_vals, vcoarse.p0_idx, vcoarse.p0_wt)
+        return solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
+                            max_iters=min(config.cg_max_iters, 200))
     return smooth_signal(arrays.smooth_ops, arrays.signals, s_weight,
                          tol=config.cg_tol, max_iters=config.cg_max_iters)
 
@@ -151,11 +161,11 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
-                config: FlowConfig, coarse=None):
+                config: FlowConfig, coarse=None, vcoarse=None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve."""
-    smoothed, sm_stats = _stage_smooth(arrays, s_weight, config)
+    smoothed, sm_stats = _stage_smooth(arrays, s_weight, config, vcoarse)
     d_blocks, rhs_t, align_err = _stage_resample(arrays, tfield, smoothed, config)
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse)
@@ -257,14 +267,18 @@ class FlowProblem:
         self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
         self.tfield = jnp.zeros((mesh.n_triangles, 2), dtype)
         self.coarse = None
+        self.vcoarse = None
 
     def attach_coarse_space(self, tris0, verts0, parent, bary) -> None:
-        """Build the two-level geometric coarse space (models/coarse.py)
-        from subdivision parent tracking."""
-        from meshopticalflow_tpu.models.coarse import build_coarse_space
+        """Build the two-level geometric coarse spaces (models/coarse.py)
+        from subdivision parent tracking: one for the flow basis, one for
+        the scalar smoothing solves."""
+        from meshopticalflow_tpu.models.coarse import build_coarse_space, build_vertex_coarse
         coarse_mesh = build_mesh(tris0, vertices=verts0)
         self.coarse = build_coarse_space(self.config, self.mesh, self.basis_host,
                                          coarse_mesh, parent, bary)
+        self.vcoarse = build_vertex_coarse(self.config, self.mesh, coarse_mesh,
+                                           parent, bary)
 
     # -- construction ----------------------------------------------------
 
@@ -348,7 +362,8 @@ class FlowProblem:
             t0 = time.time()
             coeffs, tfield, stats = _level_step(
                 self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
-                jnp.asarray(v_weight, self.dtype), cfg, self.coarse)
+                jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
+                getattr(self, "vcoarse", None))
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)

@@ -183,3 +183,64 @@ def build_coarse_space(
     p0_idx[rr, ss] = p0_csr.indices
     p0_wt[rr, ss] = p0_csr.data
     return CoarseSpace(coarse_host, coarse_dev, p0_csr, p0_idx, p0_wt)
+
+
+@dataclasses.dataclass
+class VertexCoarse:
+    """Two-level coarse space for the scalar (vertex) smoothing solves."""
+
+    cols0: "jnp.ndarray"      # (V0, W0) int32 shared ELL pattern of M0, K0
+    m0_vals: "jnp.ndarray"
+    k0_vals: "jnp.ndarray"
+    p0_idx: "jnp.ndarray"     # (V_f, 3) int32 hat-interpolation transfer
+    p0_wt: "jnp.ndarray"
+
+
+def build_vertex_coarse(config, fine_mesh: HostMesh, coarse_mesh: HostMesh,
+                        parent: np.ndarray, bary: np.ndarray) -> VertexCoarse:
+    """Galerkin coarse mass/stiffness on the pre-subdivision mesh with the
+    hat-interpolation transfer (for FlowData::smoothSignal solves)."""
+    from meshopticalflow_tpu.ops.assemble import scalar_mass_csr, scalar_stiffness_csr
+    from meshopticalflow_tpu.ops.ell import coo_slot_map, ell_from_scipy
+
+    parent = np.asarray(parent, np.int64)
+    bary = np.asarray(bary, np.float64)
+    t_f = fine_mesh.n_triangles
+    v_f = fine_mesh.n_vertices
+    v_c = coarse_mesh.n_vertices
+    # One (triangle, corner) witness per fine vertex -> hat weights.
+    first_t = np.full(v_f, -1, np.int64)
+    first_c = np.zeros(v_f, np.int64)
+    tri = fine_mesh.triangles.astype(np.int64)
+    for c in range(2, -1, -1):
+        first_t[tri[:, c]] = np.arange(t_f)
+        first_c[tri[:, c]] = c
+    b_v = bary[first_t, first_c]
+    lam = _hat(b_v)
+    tau = parent[first_t]
+    ctri = coarse_mesh.triangles.astype(np.int64)[tau]
+    p0 = sp.coo_matrix((lam.ravel(), (np.repeat(np.arange(v_f), 3), ctri.ravel())),
+                       shape=(v_f, v_c)).tocsr()
+
+    m_f = scalar_mass_csr(fine_mesh, lump=False)
+    k_f = scalar_stiffness_csr(fine_mesh)
+    m0 = (p0.T @ m_f @ p0).tocsr()
+    k0 = (p0.T @ k_f @ p0).tocsr()
+    union = (m0 + k0).tocsr()
+    ell = ell_from_scipy(union)
+
+    def fill(csr):
+        coo = csr.tocoo()
+        slots = coo_slot_map(ell.cols, coo.row, coo.col)
+        vals = np.zeros(ell.cols.size, np.float64)
+        np.add.at(vals, slots, coo.data)
+        return vals.reshape(ell.cols.shape)
+
+    dtype = jnp.dtype(config.dtype)
+    return VertexCoarse(
+        cols0=jnp.asarray(ell.cols),
+        m0_vals=jnp.asarray(fill(m0), dtype),
+        k0_vals=jnp.asarray(fill(k0), dtype),
+        p0_idx=jnp.asarray(ctri, jnp.int32),
+        p0_wt=jnp.asarray(lam, dtype),
+    )

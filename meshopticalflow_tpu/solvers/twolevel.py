@@ -30,40 +30,74 @@ from meshopticalflow_tpu.ops.ell import ell_matvec
 from meshopticalflow_tpu.solvers.cg import CGStats
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "n_coarse"))
-def _pre_cycle(cols, vals, inv_diag, p0_idx, p0_wt, r, omega, nu: int, n_coarse: int):
+def _dscale(inv_diag, r):
+    """inv_diag * r for (N,) or (N, C) residuals."""
+    return inv_diag[:, None] * r if r.ndim == 2 else inv_diag * r
+
+
+def _restrict(p0_idx, p0_wt, res, n_coarse):
+    if res.ndim == 2:
+        contrib = p0_wt[:, :, None] * res[:, None, :]
+        return jax.ops.segment_sum(contrib.reshape(-1, res.shape[1]),
+                                   jnp.repeat(p0_idx.ravel(), 1),
+                                   num_segments=n_coarse)
+    return jax.ops.segment_sum((p0_wt * res[:, None]).ravel(), p0_idx.ravel(),
+                               num_segments=n_coarse)
+
+
+def _prolong(p0_idx, p0_wt, ec):
+    if ec.ndim == 2:
+        return jnp.einsum("nk,nkc->nc", p0_wt, ec[p0_idx])
+    return jnp.sum(p0_wt * ec[p0_idx], axis=1)
+
+
+def _pre_cycle_impl(cols, vals, inv_diag, p0_idx, p0_wt, r, omega, nu: int,
+                    n_coarse: int):
     """nu damped-Jacobi sweeps from zero + restricted residual."""
-    z = omega * inv_diag * r
+    z = omega * _dscale(inv_diag, r)
     for _ in range(nu - 1):
-        z = z + omega * inv_diag * (r - ell_matvec(cols, vals, z))
+        z = z + omega * _dscale(inv_diag, r - ell_matvec(cols, vals, z))
     res = r - ell_matvec(cols, vals, z)
-    rc = jax.ops.segment_sum((p0_wt * res[:, None]).ravel(), p0_idx.ravel(),
-                             num_segments=n_coarse)
+    rc = _restrict(p0_idx, p0_wt, res, n_coarse)
     return z, rc
 
 
-@functools.partial(jax.jit, static_argnames=("nu",))
-def _post_cycle(cols, vals, inv_diag, p0_idx, p0_wt, r, z, ec, omega, nu: int):
-    z = z + jnp.sum(p0_wt * ec[p0_idx], axis=1)
+def _post_cycle_impl(cols, vals, inv_diag, p0_idx, p0_wt, r, z, ec, omega, nu: int):
+    z = z + _prolong(p0_idx, p0_wt, ec)
     for _ in range(nu):
-        z = z + omega * inv_diag * (r - ell_matvec(cols, vals, z))
+        z = z + omega * _dscale(inv_diag, r - ell_matvec(cols, vals, z))
     return z
 
 
-@jax.jit
-def _cg_advance(cols, vals, x, r, p, rz):
-    """One CG x/r update; returns (x', r', Ap-free state)."""
-    ap = ell_matvec(cols, vals, p)
-    pap = jnp.vdot(p, ap)
-    alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
-    return x + alpha * p, r - alpha * ap
+def _dots(u, v):
+    return jnp.einsum("nc,nc->c", u, v) if u.ndim == 2 else jnp.vdot(u, v)
 
 
-@jax.jit
-def _cg_direction(z, r, p, rz_old):
-    rz = jnp.vdot(r, z)
+_pre_cycle = functools.partial(jax.jit, static_argnames=("nu", "n_coarse"))(_pre_cycle_impl)
+_post_cycle = functools.partial(jax.jit, static_argnames=("nu",))(_post_cycle_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "n_coarse"))
+def _fused_iteration(cols, vals, inv_diag, p0_idx, p0_wt, omega,
+                     x, r, z1, ec, p, rz_old, nu: int, n_coarse: int):
+    """One full PCG iteration around the host coarse solve — a single
+    dispatch: finish the preconditioner (post-smooth), form the new search
+    direction, take the CG step, then pre-smooth + restrict the NEW residual
+    for the next host coarse solve."""
+    z = _post_cycle_impl(cols, vals, inv_diag, p0_idx, p0_wt, r, z1, ec, omega, nu)
+    rz = _dots(r, z)
     beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
-    return z + beta * p, rz, jnp.vdot(r, r)
+    p = z + (beta[None, :] if r.ndim == 2 else beta) * p
+    ap = ell_matvec(cols, vals, p)
+    pap = _dots(p, ap)
+    alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+    a_ = alpha[None, :] if r.ndim == 2 else alpha
+    x = x + a_ * p
+    r = r - a_ * ap
+    z1_next, rc_next = _pre_cycle_impl(cols, vals, inv_diag, p0_idx, p0_wt,
+                                       r, omega, nu, n_coarse)
+    r2 = jnp.max(_dots(r, r)) if r.ndim == 2 else _dots(r, r)
+    return x, r, z1_next, rc_next, p, rz, r2
 
 
 class TwoLevelSolver:
@@ -104,22 +138,28 @@ class TwoLevelSolver:
 
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-7,
               max_iters: int = 100):
-        b_norm2 = float(jnp.vdot(b, b))
+        """PCG with ONE device dispatch + one host coarse solve per
+        iteration (the iteration is split at the coarse solve)."""
+        multi = b.ndim == 2
+        b_norm2 = float(jnp.max(_dots(b, b))) if multi else float(jnp.vdot(b, b))
         if b_norm2 == 0:
             return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                               jnp.asarray(0.0, b.dtype))
         x = jnp.zeros_like(b) if x0 is None else x0
         r = b if x0 is None else b - ell_matvec(self.cols, self.vals, x)
-        z = self._apply_precond(r)
-        p = z
-        rz = jnp.vdot(r, z)
+        z1, rc = _pre_cycle(self.cols, self.vals, self.inv_diag, self.p0_idx,
+                            self.p0_wt, r, self.omega, self.nu, self.n_coarse)
+        p = jnp.zeros_like(b)
+        rz = (jnp.zeros(b.shape[1], b.dtype) if multi else jnp.asarray(0.0, b.dtype))
         threshold = (tol ** 2) * b_norm2
         it = 0
-        r2 = float(jnp.vdot(r, r))
+        r2 = b_norm2
         while it < max_iters and r2 > threshold:
-            x, r = _cg_advance(self.cols, self.vals, x, r, p, rz)
-            z = self._apply_precond(r)
-            p, rz, r2_dev = _cg_direction(z, r, p, rz)
+            ec = jnp.asarray(self.coarse_lu.solve(np.asarray(rc, np.float64)),
+                             self.dtype)
+            x, r, z1, rc, p, rz, r2_dev = _fused_iteration(
+                self.cols, self.vals, self.inv_diag, self.p0_idx, self.p0_wt,
+                self.omega, x, r, z1, ec, p, rz, self.nu, self.n_coarse)
             r2 = float(r2_dev)
             it += 1
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
