@@ -189,6 +189,16 @@ def _advect_texture_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src_p,
     return jnp.where((src_t >= 0)[:, None], colors, base)
 
 
+@functools.partial(jax.jit, static_argnames=("min_step", "max_steps", "bilinear"))
+def _advect_texture_step_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src_p,
+                             length, min_step, max_steps, bilinear):
+    from meshopticalflow_tpu.kernels.advect import advect_texture_step
+    colors, t1, p1 = advect_texture_step(tm, tfield, tri_uvs, texture, src_t, src_p,
+                                         length, min_step, max_steps, bilinear)
+    base = jnp.flipud(texture).reshape(-1, texture.shape[-1])
+    return jnp.where((src_t >= 0)[:, None], colors, base), t1, p1
+
+
 @jax.jit
 def _exp_remap_jit(tm: TraceMesh, t0, p):
     center = jnp.full_like(p, 1.0 / 3.0)
@@ -352,13 +362,28 @@ class FlowProblem:
 
     # -- outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056) ---
 
-    def run(self, verbose: bool = False) -> FlowResult:
+    def run(self, verbose: bool = False, checkpoint_dir: Optional[str] = None,
+            resume: bool = True) -> FlowResult:
+        """Coarse-to-fine optimization; optionally checkpoints each level to
+        ``checkpoint_dir`` and resumes from the latest checkpoint there."""
+        import glob
+        import os
+
         cfg = self.config
         coeffs, tfield = self.coeffs, self.tfield
         s_weight = cfg.scalar_smooth_weight
         v_weight = cfg.resolved_vf_smooth_weight()
+        start_level = 0
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            if resume:
+                ckpts = sorted(glob.glob(os.path.join(checkpoint_dir, "level_*.npz")))
+                if ckpts:
+                    lvl, s_weight, v_weight = self.load_checkpoint(ckpts[-1])
+                    coeffs, tfield = self.coeffs, self.tfield
+                    start_level = lvl + 1
         metrics: List[Dict] = []
-        for level in range(cfg.levels):
+        for level in range(start_level, cfg.levels):
             t0 = time.time()
             coeffs, tfield, stats = _level_step(
                 self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
@@ -374,6 +399,11 @@ class FlowProblem:
             s_weight *= cfg.scalar_weight_multiplier
             if v_weight * cfg.vf_weight_multiplier > cfg.vf_smooth_weight_threshold:
                 v_weight = v_weight * cfg.vf_weight_multiplier
+            if checkpoint_dir:
+                self.coeffs, self.tfield = coeffs, tfield
+                self.save_checkpoint(
+                    os.path.join(checkpoint_dir, f"level_{level:03d}.npz"),
+                    level, s_weight, v_weight)
         self.coeffs, self.tfield = coeffs, tfield
         return FlowResult(np.asarray(coeffs), np.asarray(tfield), metrics)
 
@@ -407,6 +437,43 @@ class FlowProblem:
                 cfg.flow_min_step, cfg.flow_max_steps, not cfg.nearest)
             outs.append(out.reshape(h, w, 3))
         return np.stack([np.asarray(o) for o in outs])
+
+    def advected_texture_frames(self, frames: int) -> np.ndarray:
+        """N-frame texture interpolation (InputTextureData::flow frames
+        overload, OpticalFlow.cpp:517-539): flow the texel table repeatedly
+        by +-1/(frames-1), sampling the original textures each frame.
+        Returns (2, frames, H, W, 3) in uv-space row order."""
+        cfg = self.config
+        src = self.texture_source
+        h, w = src.height, src.width
+        alpha = 1.0 / (frames - 1)
+        outs = np.empty((2, frames, h, w, 3), np.float64)
+        for s in range(2):
+            base = np.flipud(np.asarray(self.textures[s], np.float64))
+            outs[s, 0] = base
+            length = -alpha if s == 0 else alpha
+            t, p = self.src_t, self.src_p
+            for f in range(1, frames):
+                colors, t, p = _advect_texture_step_jit(
+                    self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
+                    t, p, jnp.asarray(length, self.dtype),
+                    cfg.flow_min_step * frames, cfg.flow_max_steps,
+                    not cfg.nearest)
+                outs[s, f] = np.asarray(colors).reshape(h, w, 3)
+        return outs
+
+    def save_checkpoint(self, path: str, level: int, s_weight: float,
+                        v_weight: float) -> None:
+        """Mid-run checkpoint of the optimization state (the reference has
+        no resume; SURVEY.md section 5 asks for one)."""
+        np.savez(path, coeffs=np.asarray(self.coeffs), tfield=np.asarray(self.tfield),
+                 level=level, s_weight=s_weight, v_weight=v_weight)
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        self.coeffs = jnp.asarray(data["coeffs"], self.dtype)
+        self.tfield = jnp.asarray(data["tfield"], self.dtype)
+        return int(data["level"]), float(data["s_weight"]), float(data["v_weight"])
 
     def write_output(self, path: str, alpha: float = 0.5) -> None:
         """Blend the two advected inputs and write (OpticalFlow.cpp:1044-1055)."""

@@ -351,3 +351,26 @@ def write_ply_textured(path: str, vertices: np.ndarray, faces: np.ndarray,
             f.write(_header("binary_little_endian", lines))
             f.write(varr.tobytes())
             f.write(farr.tobytes())
+
+
+def write_ply_metric(path: str, vertices: np.ndarray, faces: np.ndarray,
+                     square_lengths: np.ndarray) -> None:
+    """Write a mesh with per-face squared edge lengths (Src/MetricFace.h) —
+    the input record for Spectrum's --edgeMetric mode."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    sq = np.asarray(square_lengths, np.float64).reshape(len(faces), 3)
+    lines = [
+        f"element vertex {len(vertices)}",
+        "property float x", "property float y", "property float z",
+        f"element face {len(faces)}",
+        "property list uchar int vertex_indices",
+        "property list uchar double square_lengths",
+    ]
+    with open(path, "wb") as f:
+        f.write(_header("ascii", lines))
+        for p_ in vertices:
+            f.write(b"%g %g %g\n" % (p_[0], p_[1], p_[2]))
+        for t, q in zip(faces, sq):
+            f.write(b"3 %d %d %d 3 %.17g %.17g %.17g\n"
+                    % (t[0], t[1], t[2], q[0], q[1], q[2]))

@@ -8,6 +8,7 @@ from meshopticalflow_tpu.kernels.tracing import (
 from meshopticalflow_tpu.kernels.advect import (
     resample_signal,
     advect_texture,
+    advect_texture_step,
     sample_texture_bilinear,
     sample_vertex_signal,
 )

@@ -114,6 +114,29 @@ def sample_texture_bilinear(texture: jnp.ndarray, uv: jnp.ndarray,
             + c11 * dx * dy + c01 * (1 - dx) * dy)
 
 
+def advect_texture_step(
+    tm: TraceMesh,
+    vfield: jnp.ndarray,
+    tri_uvs: jnp.ndarray,
+    texture: jnp.ndarray,
+    src_t: jnp.ndarray,
+    src_p: jnp.ndarray,
+    length,
+    min_step: float = 1e-2,
+    max_steps: int = 4096,
+    bilinear: bool = True,
+):
+    """One advection step: returns (colors, t1, p1) so the sample table can
+    be flowed repeatedly (the N-frame interpolation of OpticalFlow.cpp:517-539)."""
+    t1, p1 = flow_field_trace(tm, vfield, length, src_t, src_p, min_step, max_steps)
+    t_safe = jnp.maximum(t1, 0)
+    corners = tri_uvs[t_safe]                     # (N, 3, 2)
+    w0 = (1.0 - p1[:, 0] - p1[:, 1])[:, None]
+    uv = corners[:, 0] * w0 + corners[:, 1] * p1[:, 0:1] + corners[:, 2] * p1[:, 1:2]
+    colors = sample_texture_bilinear(texture, uv, bilinear)
+    return jnp.where((t1 >= 0)[:, None], colors, 0.0), t1, p1
+
+
 def advect_texture(
     tm: TraceMesh,
     vfield: jnp.ndarray,         # (T, 2)
@@ -129,10 +152,6 @@ def advect_texture(
     """Advect texels and fetch the texture at the destination
     (InputTextureData::flow, OpticalFlow.cpp:501-515). Returns (N, 3);
     invalid texels return 0."""
-    t1, p1 = flow_field_trace(tm, vfield, length, src_t, src_p, min_step, max_steps)
-    t_safe = jnp.maximum(t1, 0)
-    corners = tri_uvs[t_safe]                     # (N, 3, 2)
-    w0 = (1.0 - p1[:, 0] - p1[:, 1])[:, None]
-    uv = corners[:, 0] * w0 + corners[:, 1] * p1[:, 0:1] + corners[:, 2] * p1[:, 1:2]
-    colors = sample_texture_bilinear(texture, uv, bilinear)
-    return jnp.where((t1 >= 0)[:, None], colors, 0.0)
+    colors, _, _ = advect_texture_step(tm, vfield, tri_uvs, texture, src_t, src_p,
+                                       length, min_step, max_steps, bilinear)
+    return colors

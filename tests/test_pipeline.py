@@ -129,3 +129,55 @@ def test_texture_pipeline_smoke(tmp_path):
     # and be brighter than the naive linear blend's double-bump.
     naive = (blob(0.42, 0.5).astype(np.float64) + blob(0.58, 0.5)) / 2
     assert out.max() > naive.max() + 10
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupted runs resume deterministically from the last level."""
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+    cfg = FlowConfig(vf_mode=VectorFieldMode.CONNECTION, levels=3, dtype="float64",
+                     dog_weight=0.0, cg_tol=1e-10, cg_max_iters=2000)
+    ck = str(tmp_path / "ck")
+    p1 = synthetic_sphere_problem(cfg, subdiv=2)
+    full = p1.run(checkpoint_dir=None)
+    # Run 2 levels with checkpointing, then resume a fresh problem.
+    cfg2 = FlowConfig(vf_mode=VectorFieldMode.CONNECTION, levels=2, dtype="float64",
+                      dog_weight=0.0, cg_tol=1e-10, cg_max_iters=2000)
+    p2 = synthetic_sphere_problem(cfg2, subdiv=2)
+    p2.run(checkpoint_dir=ck)
+    p3 = synthetic_sphere_problem(cfg, subdiv=2)
+    res3 = p3.run(checkpoint_dir=ck, resume=True)
+    assert len(res3.metrics) == 1  # only the third level ran
+    np.testing.assert_allclose(p3.tfield, full.tfield, atol=1e-8)
+
+
+def test_multiframe_texture_interpolation(tmp_path):
+    """N-frame interpolation: endpoints equal the inputs, midframe moves."""
+    from meshopticalflow_tpu.io.ply import write_ply_textured
+    from meshopticalflow_tpu.io.png import write_png_rgb
+    n = 7
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = i * n + j, (i + 1) * n + j, (i + 1) * n + j + 1, i * n + j + 1
+            tris += [[a, b, c], [a, c, d]]
+    tris = np.array(tris, np.int32)
+    uvs = verts[tris][:, :, :2]
+    size = 32
+    rng = np.random.default_rng(0)
+    texa = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    texb = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    write_ply_textured(str(tmp_path / "m.ply"), verts, tris, uvs)
+    write_png_rgb(str(tmp_path / "A.png"), texa)
+    write_png_rgb(str(tmp_path / "B.png"), texb)
+    cfg = FlowConfig(levels=1, dtype="float64", dog_weight=0.0,
+                     subdivide_edge_length=0.0)
+    prob = FlowProblem.from_texture_inputs(str(tmp_path / "m.ply"),
+                                           (str(tmp_path / "A.png"), str(tmp_path / "B.png")), cfg)
+    prob.run()
+    frames = prob.advected_texture_frames(3)
+    assert frames.shape == (2, 3, size, size, 3)
+    np.testing.assert_allclose(frames[0, 0], np.flipud(texa.astype(np.float64)))
+    np.testing.assert_allclose(frames[1, 0], np.flipud(texb.astype(np.float64)))
+    assert np.isfinite(frames).all()
