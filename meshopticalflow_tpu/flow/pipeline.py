@@ -93,14 +93,23 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
 
 
 def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
-                  vcoarse=None):
+                  vcoarse=None, vpatch=None):
     if vcoarse is not None:
         from meshopticalflow_tpu.flow.signal import _smooth_system
-        from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
         sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
         c_vals = vcoarse.m0_vals + s_weight * vcoarse.k0_vals
-        solver = TwoLevelSolver(arrays.smooth_ops.cols, sys_vals, diag,
-                                vcoarse.cols0, c_vals, vcoarse.p0_idx, vcoarse.p0_wt)
+        if vpatch is not None:
+            from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
+            a2 = vpatch.m2_dense + s_weight * vpatch.k2_dense
+            solver = ThreeLevelSolver(arrays.smooth_ops.cols, sys_vals, diag,
+                                      vcoarse.cols0, c_vals, vcoarse.p0_idx,
+                                      vcoarse.p0_wt, a2, vpatch.p12_idx,
+                                      vpatch.p12_wt)
+        else:
+            from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+            solver = TwoLevelSolver(arrays.smooth_ops.cols, sys_vals, diag,
+                                    vcoarse.cols0, c_vals, vcoarse.p0_idx,
+                                    vcoarse.p0_wt)
         return solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
                             max_iters=min(config.cg_max_iters, 200))
     return smooth_signal(arrays.smooth_ops, arrays.signals, s_weight,
@@ -153,22 +162,23 @@ def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig)
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
-                 config: FlowConfig, coarse=None):
+                 config: FlowConfig, coarse=None, patch=None):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
-                               refine=config.flow_refine, coarse=coarse)
+                               refine=config.flow_refine, coarse=coarse, patch=patch)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
-                config: FlowConfig, coarse=None, vcoarse=None):
+                config: FlowConfig, coarse=None, vcoarse=None, patch=None,
+                vpatch=None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve."""
-    smoothed, sm_stats = _stage_smooth(arrays, s_weight, config, vcoarse)
+    smoothed, sm_stats = _stage_smooth(arrays, s_weight, config, vcoarse, vpatch)
     d_blocks, rhs_t, align_err = _stage_resample(arrays, tfield, smoothed, config)
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
-                                                    v_weight, config, coarse)
+                                                    v_weight, config, coarse, patch)
     return new_coeffs, new_tfield, dict(
         smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
         flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
@@ -278,17 +288,30 @@ class FlowProblem:
         self.tfield = jnp.zeros((mesh.n_triangles, 2), dtype)
         self.coarse = None
         self.vcoarse = None
+        self.patch = None
+        self.vpatch = None
 
     def attach_coarse_space(self, tris0, verts0, parent, bary) -> None:
         """Build the two-level geometric coarse spaces (models/coarse.py)
         from subdivision parent tracking: one for the flow basis, one for
         the scalar smoothing solves."""
-        from meshopticalflow_tpu.models.coarse import build_coarse_space, build_vertex_coarse
+        from meshopticalflow_tpu.config import VectorFieldMode
+        from meshopticalflow_tpu.models.coarse import (
+            build_coarse_space, build_patch_level, build_vertex_coarse,
+            build_vertex_patch_level_from)
         coarse_mesh = build_mesh(tris0, vertices=verts0)
         self.coarse = build_coarse_space(self.config, self.mesh, self.basis_host,
                                          coarse_mesh, parent, bary)
         self.vcoarse = build_vertex_coarse(self.config, self.mesh, coarse_mesh,
                                            parent, bary)
+        self.patch = None
+        self.vpatch = None
+        if VectorFieldMode(self.config.vf_mode) == VectorFieldMode.WHITNEY:
+            self.patch, patch_ids = build_patch_level(self.config, coarse_mesh,
+                                                      self.coarse)
+            self.vpatch = build_vertex_patch_level_from(
+                self.config, self.vcoarse.m0_csr, self.vcoarse.k0_csr,
+                coarse_mesh, patch_ids)
 
     # -- construction ----------------------------------------------------
 
@@ -388,7 +411,8 @@ class FlowProblem:
             coeffs, tfield, stats = _level_step(
                 self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
                 jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
-                getattr(self, "vcoarse", None))
+                getattr(self, "vcoarse", None), getattr(self, "patch", None),
+                getattr(self, "vpatch", None))
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)

@@ -159,6 +159,16 @@ def build_flow_system(basis: BasisDevice, d_blocks, rhs_t, vf_smooth_weight):
 
 
 @jax.jit
+def patch_system_dense(q2_idx, q2_wt, d_blocks, scale, vf_smooth_weight, s2_dense):
+    """Dense coarsest Galerkin system: scale * Q2^T D Q2 + lambda * S2."""
+    vals = jnp.einsum("tak,tab,tbl->tkl", q2_wt, d_blocks, q2_wt)
+    n2 = s2_dense.shape[0]
+    flat = (q2_idx[:, :, None] * n2 + q2_idx[:, None, :]).reshape(-1)
+    dt2 = jnp.zeros(n2 * n2, vals.dtype).at[flat].add(vals.reshape(-1)).reshape(n2, n2)
+    return dt2 * scale + vf_smooth_weight * s2_dense
+
+
+@jax.jit
 def coarse_system_vals(coarse_dev: "BasisDevice", d_blocks, scale, vf_smooth_weight):
     """Galerkin coarse system values: scale * Q^T D Q + lambda * S0 — the
     exact P0^T A P0 of the fine system (models/coarse.py)."""
@@ -191,6 +201,7 @@ def update_optical_flow(
     use_host_cholesky: bool = False,
     refine: bool = True,
     coarse=None,   # models.coarse.CoarseSpace device handles (two-level MG)
+    patch=None,    # models.coarse.PatchLevel (fully on-device 3-level MG)
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -222,15 +233,25 @@ def update_optical_flow(
         x = jnp.asarray(x_h, coeffs.dtype)
         stats = CGStats(jnp.asarray(0, jnp.int32), jnp.asarray(0.0, coeffs.dtype))
     elif coarse is not None:
-        # Two-level geometric MG-PCG, wrapped in mixed-precision iterative
-        # refinement for float64-grade residuals.
+        # Geometric MG-PCG (3-level fully on device when a patch level is
+        # available, else 2-level with host coarse solves), wrapped in
+        # mixed-precision iterative refinement for float64-grade residuals.
         from meshopticalflow_tpu.solvers.refine import refine_loop
-        from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
         c_vals = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
                                     vf_smooth_weight)
-        solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,
-                                coarse.coarse_dev.ell_cols, c_vals,
-                                coarse.p0_idx_dev, coarse.p0_wt_dev)
+        if patch is not None:
+            from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
+            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
+                                    vf_smooth_weight, patch.s2_dense)
+            solver = ThreeLevelSolver(basis.ell_cols, sys_vals, diag,
+                                      coarse.coarse_dev.ell_cols, c_vals,
+                                      coarse.p0_idx_dev, coarse.p0_wt_dev,
+                                      a2, patch.p12_idx, patch.p12_wt)
+        else:
+            from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+            solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,
+                                    coarse.coarse_dev.ell_cols, c_vals,
+                                    coarse.p0_idx_dev, coarse.p0_wt_dev)
         if refine:
             # tol 3e-9: one f32 MG solve reaches ~1e-4, two reach ~1e-9 —
             # enough for direct-solve-equivalent trajectories (validated on

@@ -194,6 +194,8 @@ class VertexCoarse:
     k0_vals: "jnp.ndarray"
     p0_idx: "jnp.ndarray"     # (V_f, 3) int32 hat-interpolation transfer
     p0_wt: "jnp.ndarray"
+    m0_csr: object = None     # host Galerkin operators (for deeper levels)
+    k0_csr: object = None
 
 
 def build_vertex_coarse(config, fine_mesh: HostMesh, coarse_mesh: HostMesh,
@@ -243,4 +245,80 @@ def build_vertex_coarse(config, fine_mesh: HostMesh, coarse_mesh: HostMesh,
         k0_vals=jnp.asarray(fill(k0), dtype),
         p0_idx=jnp.asarray(ctri, jnp.int32),
         p0_wt=jnp.asarray(lam, dtype),
+        m0_csr=m0,
+        k0_csr=k0,
+    )
+
+
+@dataclasses.dataclass
+class PatchLevel:
+    """Third (densest) multigrid level for the flow basis (models/patches.py)."""
+
+    q2_idx: "jnp.ndarray"     # (T_f, K2) int32 composed fine-triangle gather
+    q2_wt: "jnp.ndarray"      # (T_f, 2, K2)
+    s2_dense: "jnp.ndarray"   # (n2, n2) Galerkin smoothness, dense
+    p12_idx: "jnp.ndarray"    # (n1, K12) int32 coarse->patch transfer
+    p12_wt: "jnp.ndarray"
+
+
+@dataclasses.dataclass
+class VertexPatchLevel:
+    """Third multigrid level for the scalar smoothing solves."""
+
+    m2_dense: "jnp.ndarray"
+    k2_dense: "jnp.ndarray"
+    p12_idx: "jnp.ndarray"
+    p12_wt: "jnp.ndarray"
+
+
+def _csr_to_padded(p_csr):
+    import numpy as _np
+    n = p_csr.shape[0]
+    k = int(_np.diff(p_csr.indptr).max())
+    idx = _np.zeros((n, k), _np.int64)
+    wt = _np.zeros((n, k))
+    nnz = _np.diff(p_csr.indptr)
+    rr = _np.repeat(_np.arange(n), nnz)
+    ss = _np.arange(p_csr.nnz) - _np.repeat(p_csr.indptr[:-1], nnz)
+    idx[rr, ss] = p_csr.indices
+    wt[rr, ss] = p_csr.data
+    return idx, wt
+
+
+def build_patch_level(config, coarse_mesh: HostMesh, cs: CoarseSpace,
+                      target_size: int = 24):
+    """Patch-aggregated coarsest level for the Whitney flow system."""
+    from meshopticalflow_tpu.models.patches import (
+        cluster_faces, compose_gather_rows, patch_transports, whitney_patch_p2)
+
+    patch = cluster_faces(coarse_mesh, target_size)
+    roots, l_root = patch_transports(coarse_mesh, patch)
+    p2 = whitney_patch_p2(coarse_mesh, patch, l_root)        # (n1, n2)
+    s2 = np.asarray((p2.T @ cs.coarse_host.smooth @ p2).todense())
+    q2_idx, q2_wt = compose_gather_rows(cs.coarse_host.p_idx, cs.coarse_host.p_wt, p2)
+    p12_idx, p12_wt = _csr_to_padded(p2)
+    dtype = jnp.dtype(config.dtype)
+    return PatchLevel(
+        q2_idx=jnp.asarray(q2_idx, jnp.int32),
+        q2_wt=jnp.asarray(q2_wt, dtype),
+        s2_dense=jnp.asarray(s2, dtype),
+        p12_idx=jnp.asarray(p12_idx, jnp.int32),
+        p12_wt=jnp.asarray(p12_wt, dtype),
+    ), patch
+
+
+def build_vertex_patch_level_from(config, m0_csr, k0_csr, coarse_mesh: HostMesh,
+                                  patch: np.ndarray) -> VertexPatchLevel:
+    from meshopticalflow_tpu.models.patches import vertex_patch_p2
+
+    p2v = vertex_patch_p2(coarse_mesh, patch)
+    m2 = np.asarray((p2v.T @ m0_csr @ p2v).todense())
+    k2 = np.asarray((p2v.T @ k0_csr @ p2v).todense())
+    p12_idx, p12_wt = _csr_to_padded(p2v)
+    dtype = jnp.dtype(config.dtype)
+    return VertexPatchLevel(
+        m2_dense=jnp.asarray(m2, dtype),
+        k2_dense=jnp.asarray(k2, dtype),
+        p12_idx=jnp.asarray(p12_idx, jnp.int32),
+        p12_wt=jnp.asarray(p12_wt, dtype),
     )

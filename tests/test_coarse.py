@@ -122,3 +122,46 @@ def test_twolevel_solver_converges_fast(spaces):
     tf_ref = np.asarray(prolong(fine_dev, jnp.asarray(x_ref)))
     atol = 100 * tol * max(1.0, np.abs(tf_ref).max())
     np.testing.assert_allclose(tf, tf_ref, atol=atol)
+
+
+def test_three_level_pipeline_matches_host_cholesky(tmp_path):
+    """Whitney + subdivision: the fully on-device 3-level MG path produces
+    the same flow as exact host solves."""
+    from meshopticalflow_tpu.flow.pipeline import FlowProblem
+    from meshopticalflow_tpu.io.ply import write_ply_textured
+    from meshopticalflow_tpu.io.png import write_png_rgb
+    n = 7
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = i * n + j, (i + 1) * n + j, (i + 1) * n + j + 1, i * n + j + 1
+            tris += [[a, b, c], [a, c, d]]
+    tris = np.array(tris, np.int32)
+    uvs = verts[tris][:, :, :2]
+    size = 48
+    uu, vv = np.meshgrid(np.arange(size) / (size - 1), np.arange(size) / (size - 1),
+                         indexing="xy")
+
+    def blob(cx, cy):
+        img = 255 * np.exp(-(((uu - cx) ** 2 + (vv - cy) ** 2) / 0.02))
+        return np.flipud(np.stack([img] * 3, -1)).astype(np.uint8)
+
+    write_ply_textured(str(tmp_path / "m.ply"), verts, tris, uvs)
+    write_png_rgb(str(tmp_path / "A.png"), blob(0.42, 0.5))
+    write_png_rgb(str(tmp_path / "B.png"), blob(0.58, 0.5))
+    paths = (str(tmp_path / "A.png"), str(tmp_path / "B.png"))
+
+    base = dict(levels=2, dtype="float64", dog_weight=0.0,
+                subdivide_edge_length=0.08, scalar_smooth_weight=1e-3,
+                vf_smooth_weight=1e-5, cg_tol=1e-9, cg_max_iters=1000)
+    p_mg = FlowProblem.from_texture_inputs(str(tmp_path / "m.ply"), paths,
+                                           FlowConfig(**base))
+    assert p_mg.patch is not None and p_mg.vpatch is not None  # 3-level active
+    r_mg = p_mg.run()
+    p_hc = FlowProblem.from_texture_inputs(str(tmp_path / "m.ply"), paths,
+                                           FlowConfig(**base, use_host_cholesky=True))
+    r_hc = p_hc.run()
+    scale = max(1.0, np.abs(r_hc.tfield).max())
+    np.testing.assert_allclose(r_mg.tfield, r_hc.tfield, atol=2e-5 * scale)
