@@ -65,7 +65,8 @@ class FlowConfig:
     cg_tol: float = 1e-7  # relative residual tolerance for PCG solves
     cg_max_iters: int = 2000
     flow_refine: bool = True  # mixed-precision iterative refinement of flow solves
-    use_multigrid: bool = True  # two-level geometric MG when a subdivision hierarchy exists
+    use_multigrid: bool = True  # geometric MG when a subdivision hierarchy exists
+    flow_mg_levels: int = 2  # 2: host-factored coarse; 3: on-device dense patch coarsest
     flow_min_step: float = 1e-2  # minStepSize (OpticalFlow.cpp:209,510)
     flow_max_steps: int = 4096  # safety cap on tracing iterations (ref: 1e6, FEM.inl:905)
     use_host_cholesky: bool = False  # scipy oracle path for the level solves

@@ -166,7 +166,8 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
-                               refine=config.flow_refine, coarse=coarse, patch=patch)
+                               refine=config.flow_refine, coarse=coarse,
+                               patch=patch if config.flow_mg_levels >= 3 else None)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,

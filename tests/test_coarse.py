@@ -155,7 +155,8 @@ def test_three_level_pipeline_matches_host_cholesky(tmp_path):
 
     base = dict(levels=2, dtype="float64", dog_weight=0.0,
                 subdivide_edge_length=0.08, scalar_smooth_weight=1e-3,
-                vf_smooth_weight=1e-5, cg_tol=1e-9, cg_max_iters=1000)
+                vf_smooth_weight=1e-5, cg_tol=1e-9, cg_max_iters=1000,
+                flow_mg_levels=3)
     p_mg = FlowProblem.from_texture_inputs(str(tmp_path / "m.ply"), paths,
                                            FlowConfig(**base))
     assert p_mg.patch is not None and p_mg.vpatch is not None  # 3-level active
