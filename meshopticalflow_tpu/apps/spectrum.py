@@ -65,7 +65,10 @@ def main(argv=None) -> int:
                         connection_mode=ConnectionMode(args.cMode), dtype=args.dtype)
     host, basis = build_basis(mesh, config)
     mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.dtype(args.dtype))
-    result = compute_spectrum(basis, mass, args.eigenVectors)
+    import jax as _jax
+    on_accelerator = _jax.devices()[0].platform != "cpu"
+    result = compute_spectrum(basis, mass, args.eigenVectors,
+                              host_stepped=on_accelerator)
     for i, field in enumerate(result.triangle_fields):
         path = os.path.join(args.outPrefix, f"eigenvector-{i + 1:03d}.bin") \
             if args.outPrefix else f"eigenvector-{i + 1:03d}.bin"

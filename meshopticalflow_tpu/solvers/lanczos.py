@@ -113,6 +113,66 @@ def _lanczos(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv, m: int
     return big_v, alphas, betas
 
 
+@functools.partial(jax.jit, static_argnames=("j",))
+def _lanczos_host_step(basis: BasisDevice, mass_blocks, big_v, big_mv, defl_v,
+                       defl_mv, v, w_raw, beta_prev, v_prev, j: int):
+    """Device part of one host-stepped Lanczos iteration: given the inner
+    solve result w_raw = op(v), orthogonalize and produce the next vector."""
+    mv = _mass_matvec(basis, mass_blocks, v)
+    big_v = big_v.at[j].set(v)
+    big_mv = big_mv.at[j].set(mv)
+    alpha = jnp.vdot(w_raw, mv)
+    w = w_raw - alpha * v - beta_prev * v_prev
+    for _ in range(2):
+        w = w - big_v.T @ (big_mv @ w)
+        w = w - defl_v.T @ (defl_mv @ w)
+    beta = jnp.sqrt(jnp.maximum(jnp.vdot(w, _mass_matvec(basis, mass_blocks, w)), 0.0))
+    v_next = w / jnp.where(beta > 1e-30, beta, 1.0)
+    return big_v, big_mv, alpha, beta, v_next
+
+
+def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
+                  m: int, cg_tol: float, cg_max_iters: int):
+    """Host-stepped Lanczos: each iteration's inner solve runs as CHUNKED
+    device CG (solvers/cg.ell_pcg) plus one jitted orthogonalization
+    dispatch — bounded device time per dispatch (the fused fori_loop variant
+    would exceed the tunneled TPU's dispatch watchdog on real meshes)."""
+    from meshopticalflow_tpu.solvers.cg import ell_pcg
+
+    n = basis.n_coeffs
+    dtype = basis.s_vals.dtype
+    s_diag = jnp.take_along_axis(basis.s_vals, basis.diag_slot[:, None], axis=1)[:, 0]
+    m_diag = _mass_diag(basis, mass_blocks)
+    diag = s_diag + sigma * m_diag
+    # The chunked ELL solver needs a pure ELL matrix; approximate the tiny
+    # sigma*M shift (sigma ~ 1e-8) by its diagonal — an O(sigma) operator
+    # perturbation, far inside the Ritz acceptance threshold.
+    sys_vals = basis.s_vals.at[jnp.arange(n), basis.diag_slot].add(sigma * m_diag)
+
+    v0 = v0 - defl_v.T @ (defl_mv @ v0)
+    v0 = v0 / jnp.sqrt(jnp.vdot(v0, _mass_matvec(basis, mass_blocks, v0)))
+    big_v = jnp.zeros((m, n), dtype)
+    big_mv = jnp.zeros((m, n), dtype)
+    alphas = np.zeros(m, np.float64)
+    betas = np.zeros(m, np.float64)
+    v = v0
+    v_prev = jnp.zeros(n, dtype)
+    beta_prev = jnp.asarray(0.0, dtype)
+    for j in range(m):
+        b = _mass_matvec(basis, mass_blocks, v)
+        w_raw, _ = ell_pcg(basis.ell_cols, sys_vals, diag, b,
+                           tol=cg_tol, max_iters=cg_max_iters, chunk=256)
+        big_v, big_mv, alpha, beta, v_next = _lanczos_host_step(
+            basis, mass_blocks, big_v, big_mv, defl_v, defl_mv, v, w_raw,
+            beta_prev, v_prev, j)
+        alphas[j] = float(alpha)
+        betas[j] = float(beta)
+        if betas[j] < 1e-14:
+            break
+        v_prev, v, beta_prev = v, v_next, beta
+    return big_v, jnp.asarray(alphas), jnp.asarray(betas)
+
+
 def compute_spectrum(
     basis: BasisDevice,
     mass_blocks: jnp.ndarray,     # (T, 2, 2) per-triangle g * area
@@ -123,6 +183,7 @@ def compute_spectrum(
     cg_max_iters: int = 20000,
     seed: int = 0,
     max_restarts: int = 4,
+    host_stepped: bool = False,
 ) -> SpectrumResult:
     """Lowest-k eigenpairs of S x = lambda M x (ComputeSpectrum,
     VectorLaplacianSpectrum.inl:5-41).
@@ -155,7 +216,8 @@ def compute_spectrum(
             defl_v[i] = u
             defl_mv[i] = mu
         v0 = jnp.asarray(rng.normal(size=n), dtype)
-        big_v, alphas, betas = _lanczos(
+        lanczos_fn = _lanczos_host if host_stepped else _lanczos
+        big_v, alphas, betas = lanczos_fn(
             basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
             jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters)
         alphas = np.asarray(alphas, np.float64)

@@ -61,3 +61,15 @@ def test_connection_spectrum_runs():
     result = compute_spectrum(basis, mass, 4, cg_tol=1e-12, max_lanczos=host.n_coeffs)
     ref_lams, _ = _dense_reference_spectrum(host, mesh, 4)
     np.testing.assert_allclose(result.eigenvalues, ref_lams, rtol=1e-4, atol=1e-6)
+
+
+def test_host_stepped_lanczos_matches():
+    tris, verts = make_sphere_mesh(1)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    fused = compute_spectrum(basis, mass, 4, cg_tol=1e-12, max_lanczos=host.n_coeffs)
+    stepped = compute_spectrum(basis, mass, 4, cg_tol=1e-12,
+                               max_lanczos=host.n_coeffs, host_stepped=True)
+    np.testing.assert_allclose(stepped.eigenvalues, fused.eigenvalues, rtol=1e-6)
