@@ -19,43 +19,57 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from meshopticalflow_tpu.ops.bsr import BlockEllDevice
 from meshopticalflow_tpu.ops.ell import ell_matvec
 from meshopticalflow_tpu.solvers.cg import CGStats
 from meshopticalflow_tpu.solvers.twolevel import _dscale, _dots, _prolong, _restrict
 
 
-def _jacobi(cols, vals, inv_diag, r, z, omega, nu):
+def _mv(op, x):
+    """Matvec for either fine-operator representation.
+
+    ``op`` is a pytree jit argument: a BlockEllDevice (RCM-tiled, ~4.6x
+    faster on TPU, see ops/bsr.py) or a plain ``(cols, vals)`` padded-ELL
+    pair. The branch is static at trace time.
+    """
+    if isinstance(op, BlockEllDevice):
+        return op.matvec(x)
+    cols, vals = op
+    return ell_matvec(cols, vals, x)
+
+
+def _jacobi(op, inv_diag, r, z, omega, nu):
     """nu damped-Jacobi sweeps refining z toward A^-1 r."""
     for _ in range(nu):
-        z = z + omega * _dscale(inv_diag, r - ell_matvec(cols, vals, z))
+        z = z + omega * _dscale(inv_diag, r - _mv(op, z))
     return z
 
 
 def _cycle(fine, c1, chol2, p01, p12, r, omega, nu):
-    f_cols, f_vals, f_inv = fine
+    f_op, f_inv = fine
     c_cols, c_vals, c_inv = c1
     p01_idx, p01_wt, n1 = p01
     p12_idx, p12_wt, n2 = p12
-    z = _jacobi(f_cols, f_vals, f_inv, r, jnp.zeros_like(r) + omega * _dscale(f_inv, r),
+    z = _jacobi(f_op, f_inv, r, jnp.zeros_like(r) + omega * _dscale(f_inv, r),
                 omega, nu - 1)
-    r1 = _restrict(p01_idx, p01_wt, r - ell_matvec(f_cols, f_vals, z), n1)
-    z1 = _jacobi(c_cols, c_vals, c_inv, r1,
+    r1 = _restrict(p01_idx, p01_wt, r - _mv(f_op, z), n1)
+    z1 = _jacobi((c_cols, c_vals), c_inv, r1,
                  jnp.zeros_like(r1) + omega * _dscale(c_inv, r1), omega, nu - 1)
     r2 = _restrict(p12_idx, p12_wt, r1 - ell_matvec(c_cols, c_vals, z1), n2)
     e2 = jax.scipy.linalg.cho_solve((chol2, True),
                                     r2 if r2.ndim == 2 else r2[:, None])
     e2 = e2 if r2.ndim == 2 else e2[:, 0]
     z1 = z1 + _prolong(p12_idx, p12_wt, e2)
-    z1 = _jacobi(c_cols, c_vals, c_inv, r1, z1, omega, nu)
+    z1 = _jacobi((c_cols, c_vals), c_inv, r1, z1, omega, nu)
     z = z + _prolong(p01_idx, p01_wt, z1)
-    return _jacobi(f_cols, f_vals, f_inv, r, z, omega, nu)
+    return _jacobi(f_op, f_inv, r, z, omega, nu)
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "n1", "n2", "iters"))
-def _pcg_chunk(f_cols, f_vals, f_inv, c_cols, c_vals, c_inv, chol2,
+def _pcg_chunk(f_op, f_inv, c_cols, c_vals, c_inv, chol2,
                p01_idx, p01_wt, p12_idx, p12_wt, omega,
                x, r, p, rz, nu: int, n1: int, n2: int, iters: int):
-    fine = (f_cols, f_vals, f_inv)
+    fine = (f_op, f_inv)
     c1 = (c_cols, c_vals, c_inv)
     p01 = (p01_idx, p01_wt, n1)
     p12 = (p12_idx, p12_wt, n2)
@@ -67,7 +81,7 @@ def _pcg_chunk(f_cols, f_vals, f_inv, c_cols, c_vals, c_inv, chol2,
         rz = _dots(r, z)
         beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
         p = z + (beta[None, :] if multi else beta) * p
-        ap = ell_matvec(f_cols, f_vals, p)
+        ap = _mv(f_op, p)
         pap = _dots(p, ap)
         alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
         a_ = alpha[None, :] if multi else alpha
@@ -84,10 +98,12 @@ class ThreeLevelSolver:
     def __init__(self, fine_cols, fine_vals, fine_diag,
                  c1_cols, c1_vals, p01_idx, p01_wt,
                  a2_dense, p12_idx, p12_wt,
-                 omega: float = 0.7, nu: int = 2):
-        dtype = fine_vals.dtype
-        self.f = (fine_cols, fine_vals,
-                  jnp.where(fine_diag != 0, 1.0 / jnp.where(fine_diag != 0, fine_diag, 1.0), 0.0))
+                 omega: float = 0.7, nu: int = 2,
+                 fine_bsr: BlockEllDevice = None):
+        dtype = (fine_bsr.vals if fine_bsr is not None else fine_vals).dtype
+        self.f_op = fine_bsr if fine_bsr is not None else (fine_cols, fine_vals)
+        self.f_inv = jnp.where(fine_diag != 0,
+                               1.0 / jnp.where(fine_diag != 0, fine_diag, 1.0), 0.0)
         n1 = c1_cols.shape[0]
         c_diag = jnp.take_along_axis(
             c1_vals, jnp.argmax(c1_cols == jnp.arange(n1)[:, None], axis=1)[:, None],
@@ -111,7 +127,7 @@ class ThreeLevelSolver:
             return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                               jnp.asarray(0.0, b.dtype))
         x = jnp.zeros_like(b) if x0 is None else x0
-        r = b if x0 is None else b - ell_matvec(self.f[0], self.f[1], x)
+        r = b if x0 is None else b - _mv(self.f_op, x)
         p = jnp.zeros_like(b)
         rz = jnp.zeros(b.shape[1], b.dtype) if multi else jnp.asarray(0.0, b.dtype)
         threshold = (tol ** 2) * b_norm2
@@ -120,7 +136,7 @@ class ThreeLevelSolver:
         while done < max_iters and r2 > threshold:
             iters = min(chunk, max_iters - done)
             x, r, p, rz, r2_dev = _pcg_chunk(
-                self.f[0], self.f[1], self.f[2],
+                self.f_op, self.f_inv,
                 self.c1[0], self.c1[1], self.c1[2], self.chol2,
                 self.p01[0], self.p01[1], self.p12[0], self.p12[1], self.omega,
                 x, r, p, rz, self.nu, self.p01[2], self.p12[2], iters)

@@ -62,3 +62,47 @@ def test_rcm_reduces_bandwidth(random_sym):
     inv[perm] = np.arange(n)
     ii, jj = a.nonzero()
     assert np.abs(inv[ii] - inv[jj]).max() == 1
+
+
+def test_three_level_solver_with_bsr_fine():
+    """mg3 with a block-ELL fine operator matches the ELL path and scipy."""
+    import scipy.sparse.linalg as spla
+
+    from meshopticalflow_tpu.ops.ell import ell_from_scipy
+    from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
+
+    n = 128
+    a = sp.diags([-1.0, 2.5, -1.0], [-1, 0, 1], shape=(n, n)).tocsr()
+
+    def agg_prolong(n_fine, factor):
+        rows = np.arange(n_fine)
+        return sp.coo_matrix((np.ones(n_fine), (rows, rows // factor)),
+                             shape=(n_fine, n_fine // factor)).tocsr()
+
+    p01 = agg_prolong(n, 4)
+    p12 = agg_prolong(n // 4, 4)
+    c1 = (p01.T @ a @ p01).tocsr()
+    a2 = np.asarray((p12.T @ c1 @ p12).todense())
+
+    h_f, h_c = ell_from_scipy(a), ell_from_scipy(c1)
+    args = (jnp.asarray(h_f.cols), jnp.asarray(h_f.vals.astype(np.float32)),
+            jnp.asarray(a.diagonal().astype(np.float32)),
+            jnp.asarray(h_c.cols), jnp.asarray(h_c.vals.astype(np.float32)),
+            jnp.asarray(np.arange(n)[:, None] // 4, jnp.int32),
+            jnp.ones((n, 1), jnp.float32),
+            jnp.asarray(a2.astype(np.float32)),
+            jnp.asarray(np.arange(n // 4)[:, None] // 4, jnp.int32),
+            jnp.ones((n // 4, 1), jnp.float32))
+
+    b = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+    ref = spla.spsolve(a.astype(np.float64), b.astype(np.float64))
+
+    x_ell, st_ell = ThreeLevelSolver(*args).solve(jnp.asarray(b), tol=1e-10)
+    bsr = BlockEllDevice.from_host(block_ell_from_scipy(a, 8, 16))
+    x_bsr, st_bsr = ThreeLevelSolver(*args, fine_bsr=bsr).solve(
+        jnp.asarray(b), tol=1e-10)
+
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(x_ell) - ref).max() <= 1e-4 * scale
+    assert np.abs(np.asarray(x_bsr) - ref).max() <= 1e-4 * scale
+    assert int(st_bsr.iterations) <= int(st_ell.iterations) + 2
