@@ -129,6 +129,28 @@ def block_ell_from_scipy(a: sp.spmatrix, br: int = 8, bc: int = 128,
                         perm=np.asarray(perm), n=n, slot_of_nnz=slot_map)
 
 
+def entry_slots(h: HostBlockEll, rows: np.ndarray,
+                cols: np.ndarray) -> np.ndarray:
+    """Flat indices into ``h.vals`` for arbitrary (row, col) pattern entries.
+
+    Enables revaluing a packed operator from values laid out some other way
+    (e.g. a padded-ELL (N, W) array: scatter-add ``vals.ravel()`` at
+    ``entry_slots(h, repeat(arange(N), W), ell_cols.ravel())``). Every
+    queried entry must lie inside the packed pattern.
+    """
+    br, bc = h.block_shape
+    k = h.tile_cols.shape[1]
+    inv = np.empty(h.n, dtype=np.int64)
+    inv[h.perm] = np.arange(h.n)
+    pi, pj = inv[rows], inv[cols]
+    r, tc = pi // br, pj // bc
+    match = h.tile_cols[r] == tc[:, None]
+    kk = np.argmax(match, axis=1)
+    if not match[np.arange(len(pi)), kk].all():
+        raise ValueError("entry outside the packed sparsity pattern")
+    return (r * k + kk) * (br * bc) + (pi % br) * bc + (pj % bc)
+
+
 @jax.tree_util.register_pytree_node_class
 class BlockEllDevice:
     """Device-resident block-ELL operator.
