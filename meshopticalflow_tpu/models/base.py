@@ -189,12 +189,12 @@ def finalize_flow_step(basis: BasisDevice, coeffs, x, dt_vals, rhs):
     return new_coeffs, prolong(basis, new_coeffs)
 
 
-def _flow_bsr_operator(basis: BasisDevice, sys_vals, patch):
-    """RCM-tiled fine operator for the flow system (ops/bsr.py).
+def _tiled_operator(ell_cols, ell_vals, cache_holder, attr: str):
+    """RCM-tiled operator (ops/bsr.py) revalued from a padded-ELL system.
 
-    The sparsity pattern is the basis ELL union, so the pack (RCM order,
-    tile layout, ELL-slot -> tile-slot scatter map) is computed once per
-    problem and cached on the patch level; each Gauss-Newton step only
+    The sparsity pattern is static, so the pack (RCM order, tile layout,
+    ELL-slot -> tile-slot scatter map) is computed once per problem and
+    cached on ``cache_holder.<attr>``; each Gauss-Newton step only
     scatter-adds the fresh ELL values into a zeroed tile array on device.
     """
     import numpy as np
@@ -202,11 +202,11 @@ def _flow_bsr_operator(basis: BasisDevice, sys_vals, patch):
     from meshopticalflow_tpu.ops.bsr import (BlockEllDevice,
                                              block_ell_from_scipy, entry_slots)
 
-    cached = getattr(patch, "_flow_bsr", None)
+    cached = getattr(cache_holder, attr, None)
     if cached is None:
         import scipy.sparse as sp
 
-        cols_h = np.asarray(basis.ell_cols)
+        cols_h = np.asarray(ell_cols)
         n, w = cols_h.shape
         rows_h = np.repeat(np.arange(n), w)
         pattern = sp.csr_matrix((np.ones(n * w), (rows_h, cols_h.ravel())),
@@ -216,10 +216,10 @@ def _flow_bsr_operator(basis: BasisDevice, sys_vals, patch):
         dev = BlockEllDevice.from_host(hb)
         cached = (dev.tile_cols, dev.perm, dev.inv_perm,
                   jnp.asarray(slots, jnp.int32), hb.vals.shape, n)
-        patch._flow_bsr = cached
+        setattr(cache_holder, attr, cached)
     tile_cols, perm, inv_perm, slots, shape, n = cached
-    vals = jnp.zeros(int(np.prod(shape)), sys_vals.dtype) \
-        .at[slots].add(sys_vals.ravel()).reshape(shape)
+    vals = jnp.zeros(int(np.prod(shape)), ell_vals.dtype) \
+        .at[slots].add(ell_vals.ravel()).reshape(shape)
     return BlockEllDevice(tile_cols, vals, perm, inv_perm, n)
 
 
@@ -277,17 +277,20 @@ def update_optical_flow(
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
                                     vf_smooth_weight, patch.s2_dense)
-            # Fine-level matvecs dominate the on-device cycle; revalue the
-            # RCM-tiled operator (ops/bsr.py, ~4.6x faster SpMV than ELL on
-            # TPU for the edge-based flow pattern) from this step's ELL
-            # system values. The pattern pack is static — built once and
-            # cached on the patch level.
-            fine_bsr = _flow_bsr_operator(basis, sys_vals, patch)
+            # Fine- and coarse-level matvecs dominate the on-device cycle;
+            # revalue the RCM-tiled operators (ops/bsr.py, ~4.6x faster SpMV
+            # than ELL on TPU for the edge-based flow patterns) from this
+            # step's ELL system values. The pattern packs are static —
+            # built once and cached on the patch level.
+            fine_bsr = _tiled_operator(basis.ell_cols, sys_vals,
+                                       patch, "_flow_bsr")
+            c1_bsr = _tiled_operator(coarse.coarse_dev.ell_cols, c_vals,
+                                     patch, "_flow_bsr_c1")
             solver = ThreeLevelSolver(basis.ell_cols, sys_vals, diag,
                                       coarse.coarse_dev.ell_cols, c_vals,
                                       coarse.p0_idx_dev, coarse.p0_wt_dev,
                                       a2, patch.p12_idx, patch.p12_wt,
-                                      nu=4, fine_bsr=fine_bsr)
+                                      nu=4, fine_bsr=fine_bsr, c1_bsr=c1_bsr)
         else:
             from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
             solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,

@@ -47,30 +47,30 @@ def _jacobi(op, inv_diag, r, z, omega, nu):
 
 def _cycle(fine, c1, chol2, p01, p12, r, omega, nu):
     f_op, f_inv = fine
-    c_cols, c_vals, c_inv = c1
+    c_op, c_inv = c1
     p01_idx, p01_wt, n1 = p01
     p12_idx, p12_wt, n2 = p12
     z = _jacobi(f_op, f_inv, r, jnp.zeros_like(r) + omega * _dscale(f_inv, r),
                 omega, nu - 1)
     r1 = _restrict(p01_idx, p01_wt, r - _mv(f_op, z), n1)
-    z1 = _jacobi((c_cols, c_vals), c_inv, r1,
+    z1 = _jacobi(c_op, c_inv, r1,
                  jnp.zeros_like(r1) + omega * _dscale(c_inv, r1), omega, nu - 1)
-    r2 = _restrict(p12_idx, p12_wt, r1 - ell_matvec(c_cols, c_vals, z1), n2)
+    r2 = _restrict(p12_idx, p12_wt, r1 - _mv(c_op, z1), n2)
     e2 = jax.scipy.linalg.cho_solve((chol2, True),
                                     r2 if r2.ndim == 2 else r2[:, None])
     e2 = e2 if r2.ndim == 2 else e2[:, 0]
     z1 = z1 + _prolong(p12_idx, p12_wt, e2)
-    z1 = _jacobi((c_cols, c_vals), c_inv, r1, z1, omega, nu)
+    z1 = _jacobi(c_op, c_inv, r1, z1, omega, nu)
     z = z + _prolong(p01_idx, p01_wt, z1)
     return _jacobi(f_op, f_inv, r, z, omega, nu)
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "n1", "n2", "iters"))
-def _pcg_chunk(f_op, f_inv, c_cols, c_vals, c_inv, chol2,
+def _pcg_chunk(f_op, f_inv, c_op, c_inv, chol2,
                p01_idx, p01_wt, p12_idx, p12_wt, omega,
                x, r, p, rz, nu: int, n1: int, n2: int, iters: int):
     fine = (f_op, f_inv)
-    c1 = (c_cols, c_vals, c_inv)
+    c1 = (c_op, c_inv)
     p01 = (p01_idx, p01_wt, n1)
     p12 = (p12_idx, p12_wt, n2)
     multi = r.ndim == 2
@@ -99,7 +99,8 @@ class ThreeLevelSolver:
                  c1_cols, c1_vals, p01_idx, p01_wt,
                  a2_dense, p12_idx, p12_wt,
                  omega: float = 0.7, nu: int = 2,
-                 fine_bsr: BlockEllDevice = None):
+                 fine_bsr: BlockEllDevice = None,
+                 c1_bsr: BlockEllDevice = None):
         dtype = (fine_bsr.vals if fine_bsr is not None else fine_vals).dtype
         self.f_op = fine_bsr if fine_bsr is not None else (fine_cols, fine_vals)
         self.f_inv = jnp.where(fine_diag != 0,
@@ -108,7 +109,7 @@ class ThreeLevelSolver:
         c_diag = jnp.take_along_axis(
             c1_vals, jnp.argmax(c1_cols == jnp.arange(n1)[:, None], axis=1)[:, None],
             axis=1)[:, 0]
-        self.c1 = (c1_cols, c1_vals,
+        self.c1 = (c1_bsr if c1_bsr is not None else (c1_cols, c1_vals),
                    jnp.where(c_diag != 0, 1.0 / jnp.where(c_diag != 0, c_diag, 1.0), 0.0))
         self.p01 = (p01_idx, p01_wt, n1)
         n2 = a2_dense.shape[0]
@@ -137,7 +138,7 @@ class ThreeLevelSolver:
             iters = min(chunk, max_iters - done)
             x, r, p, rz, r2_dev = _pcg_chunk(
                 self.f_op, self.f_inv,
-                self.c1[0], self.c1[1], self.c1[2], self.chol2,
+                self.c1[0], self.c1[1], self.chol2,
                 self.p01[0], self.p01[1], self.p12[0], self.p12[1], self.omega,
                 x, r, p, rz, self.nu, self.p01[2], self.p12[2], iters)
             r2 = float(r2_dev)

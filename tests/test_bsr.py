@@ -99,7 +99,8 @@ def test_three_level_solver_with_bsr_fine():
 
     x_ell, st_ell = ThreeLevelSolver(*args).solve(jnp.asarray(b), tol=1e-10)
     bsr = BlockEllDevice.from_host(block_ell_from_scipy(a, 8, 16))
-    x_bsr, st_bsr = ThreeLevelSolver(*args, fine_bsr=bsr).solve(
+    c1_bsr = BlockEllDevice.from_host(block_ell_from_scipy(c1, 8, 16))
+    x_bsr, st_bsr = ThreeLevelSolver(*args, fine_bsr=bsr, c1_bsr=c1_bsr).solve(
         jnp.asarray(b), tol=1e-10)
 
     scale = np.abs(ref).max()
