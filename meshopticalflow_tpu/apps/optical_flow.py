@@ -103,7 +103,8 @@ def main(argv=None) -> int:
         problem = FlowProblem.from_vertex_inputs(args.inputs[0], args.inputs[1], config)
     if args.verbose:
         print(f"Vertices / Triangles: {problem.mesh.n_vertices} / {problem.mesh.n_triangles}")
-    result = problem.run(verbose=args.verbose)
+    result = problem.run(verbose=args.verbose,
+                         debug_dir="." if args.debug else None)
     problem.write_output(args.out)
     if args.error:
         print(json.dumps({"alignment_error": result.metrics[-1]["alignment_error"]}))

@@ -118,14 +118,16 @@ def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
 
 @functools.partial(jax.jit, static_argnames=("min_step", "max_steps"))
 def _trace_pair(tm: TraceMesh, tfield, dtype_probe, min_step, max_steps):
-    """Barycenter lanes advected by -1/2 (first half) and +1/2 (second)."""
+    """Barycenter lanes advected by -1/2 (first half) and +1/2 (second).
+    Returns (t1, p1, exhausted-lane count)."""
     t_count = tm.n_triangles
     t0 = jnp.tile(jnp.arange(t_count, dtype=jnp.int32), 2)
     p0 = jnp.full((2 * t_count, 2), 1.0 / 3.0, dtype_probe.dtype)
     times = jnp.concatenate([jnp.full(t_count, -0.5, dtype_probe.dtype),
                              jnp.full(t_count, 0.5, dtype_probe.dtype)])
     from meshopticalflow_tpu.kernels.tracing import flow_field_trace
-    return flow_field_trace(tm, tfield, times, t0, p0, min_step, max_steps)
+    return flow_field_trace(tm, tfield, times, t0, p0, min_step, max_steps,
+                            with_diagnostics=True)
 
 
 @jax.jit
@@ -152,13 +154,33 @@ def _dataterm_from_samples(arrays: ProblemArrays, smoothed, t1, p1):
 def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig):
     """Advect both smoothed signals by -1/2 / +1/2 and build the data term
     plus the alignment-error diagnostic (OpticalFlow.cpp:439-470, 1012-1023).
+    Returns (d_blocks, rhs_t, align_err, exhausted, (t1, p1)).
 
     The tracing while_loop runs as its OWN dispatch: on the experimental
     axon TPU backend, fusing it with the downstream gather/segment-sum graph
     miscompiles (lane results differ from the standalone loop)."""
-    t1, p1 = _trace_pair(arrays.tm, tfield, smoothed,
-                         config.flow_min_step, config.flow_max_steps)
-    return _dataterm_from_samples(arrays, smoothed, t1, p1)
+    t1, p1, exhausted = _trace_pair(arrays.tm, tfield, smoothed,
+                                    config.flow_min_step, config.flow_max_steps)
+    d_blocks, rhs_t, align_err = _dataterm_from_samples(arrays, smoothed, t1, p1)
+    return d_blocks, rhs_t, align_err, exhausted, (t1, p1)
+
+
+@jax.jit
+def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
+    """The advected comparison signals as per-vertex fields (V, 2C) — the
+    ``resampled`` arrays the reference dumps under --debug
+    (OpticalFlow.cpp:458-465)."""
+    c = arrays.signals.shape[1] // 2
+    t_count = arrays.tm.n_triangles
+    sampled = sample_vertex_signal(arrays.tm.triangles, smoothed, t1, p1)
+    from meshopticalflow_tpu.utils.compat import concat_columns
+    both = concat_columns(sampled[:t_count, :c], sampled[t_count:, c:])
+    flat_idx = arrays.tm.triangles.ravel()
+    out = jax.ops.segment_sum(jnp.repeat(both, 3, axis=0), flat_idx,
+                              num_segments=smoothed.shape[0])
+    counts = jax.ops.segment_sum(jnp.ones_like(flat_idx, smoothed.dtype), flat_idx,
+                                 num_segments=smoothed.shape[0])
+    return out / jnp.maximum(counts, 1.0)[:, None]
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
@@ -172,18 +194,22 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
-                vpatch=None):
+                vpatch=None, want_resampled: bool = False):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
-    solve."""
+    solve. ``want_resampled`` additionally returns the advected per-vertex
+    signals (for --debug dumps)."""
     smoothed, sm_stats = _stage_smooth(arrays, s_weight, config, vcoarse, vpatch)
-    d_blocks, rhs_t, align_err = _stage_resample(arrays, tfield, smoothed, config)
+    d_blocks, rhs_t, align_err, exhausted, (t1, p1) = _stage_resample(
+        arrays, tfield, smoothed, config)
+    resampled = _resampled_signals(arrays, smoothed, t1, p1) if want_resampled else None
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch)
     return new_coeffs, new_tfield, dict(
         smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
         flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
-        alignment_error=align_err)
+        trace_exhausted=exhausted,
+        alignment_error=align_err), resampled
 
 
 @functools.partial(jax.jit, static_argnames=("min_step", "max_steps"))
@@ -387,11 +413,16 @@ class FlowProblem:
     # -- outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056) ---
 
     def run(self, verbose: bool = False, checkpoint_dir: Optional[str] = None,
-            resume: bool = True) -> FlowResult:
+            resume: bool = True, debug_dir: Optional[str] = None) -> FlowResult:
         """Coarse-to-fine optimization; optionally checkpoints each level to
-        ``checkpoint_dir`` and resumes from the latest checkpoint there."""
+        ``checkpoint_dir`` and resumes from the latest checkpoint there.
+
+        ``debug_dir`` writes the per-level advected signals as colored PLYs
+        ``resampled.{S,T}.<level>.ply`` — the reference's --debug dumps
+        (OpticalFlow.cpp:458-465)."""
         import glob
         import os
+        import sys
 
         cfg = self.config
         coeffs, tfield = self.coeffs, self.tfield
@@ -409,14 +440,21 @@ class FlowProblem:
         metrics: List[Dict] = []
         for level in range(start_level, cfg.levels):
             t0 = time.time()
-            coeffs, tfield, stats = _level_step(
+            coeffs, tfield, stats, resampled = _level_step(
                 self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
                 jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
-                getattr(self, "vpatch", None))
+                getattr(self, "vpatch", None), want_resampled=debug_dir is not None)
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)
+            if stats["trace_exhausted"] > 0:
+                # The reference warns per-lane on cap exhaustion (FEM.inl:897).
+                print(f"[WARNING] level {level}: "
+                      f"{int(stats['trace_exhausted'])} trace lanes hit the "
+                      f"{cfg.flow_max_steps}-step cap mid-path", file=sys.stderr)
+            if debug_dir is not None:
+                self._write_debug_dumps(debug_dir, level, np.asarray(resampled))
             metrics.append(stats)
             if verbose:
                 print(json.dumps({k: (float(f"{v:.6g}") if isinstance(v, float) else v)
@@ -431,6 +469,24 @@ class FlowProblem:
                     level, s_weight, v_weight)
         self.coeffs, self.tfield = coeffs, tfield
         return FlowResult(np.asarray(coeffs), np.asarray(tfield), metrics)
+
+    def _write_debug_dumps(self, debug_dir: str, level: int,
+                           resampled: np.ndarray) -> None:
+        """Per-level resampled.{S,T}.<level>.ply dumps (--debug,
+        OpticalFlow.cpp:458-465). 6-channel signals blend as c[j] + c[j+3]
+        (OutputMesh, OpticalFlow.cpp:150-162); binary-LE like the reference's
+        PLY_BINARY_NATIVE on x86."""
+        import os
+
+        os.makedirs(debug_dir, exist_ok=True)
+        c = resampled.shape[1] // 2
+        verts = self.vertices if self.vertices is not None else \
+            np.zeros((resampled.shape[0], 3))
+        for s, tag in ((0, "S"), (1, "T")):
+            sig = resampled[:, s * c:(s + 1) * c]
+            colors = sig if c == 3 else sig[:, :3] + sig[:, 3:6]
+            write_ply_colored(os.path.join(debug_dir, f"resampled.{tag}.{level}.ply"),
+                              verts, colors, self.mesh.triangles, fmt="binary_le")
 
     # -- final outputs ---------------------------------------------------
 
