@@ -82,6 +82,17 @@ def main():
               f"{timeit(lambda op, v: op.matvec(v), dev, x):.2f} ms/matvec")
         del dev
 
+    from meshopticalflow_tpu.kernels.pallas_spmv import pallas_block_ell_from_scipy
+    pdev = pallas_block_ell_from_scipy(s, perm=perm)
+    k = pdev.tile_cols.shape[1]
+    gb = pdev.vals_t.size * 4 / 1e9
+    y_ref = s @ np.asarray(x, np.float64)
+    y = np.asarray(pdev.matvec(x))
+    err = float(np.abs(y - y_ref).max() / (np.abs(y_ref).max() or 1.0))
+    print(f"pallas block-ELL 128x128 K={k} ({gb:.2f} GB): "
+          f"{timeit(lambda op, v: op.matvec(v), pdev, x):.2f} ms/matvec "
+          f"(rel err {err:.2e})")
+
 
 if __name__ == "__main__":
     main()

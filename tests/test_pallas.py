@@ -1,0 +1,114 @@
+"""Pallas SpMV kernel + MG solver correctness (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from meshopticalflow_tpu.kernels.pallas_spmv import (
+    PallasEll, pack_pattern, spmv_tiles, to_tiles, from_tiles)
+
+
+def _random_ell(n, w, rng, n_cols=None):
+    """Random padded-ELL square/rect operator + its scipy form."""
+    n_cols = n if n_cols is None else n_cols
+    cols = rng.integers(0, n_cols, (n, w)).astype(np.int32)
+    vals = rng.standard_normal((n, w))
+    rows = np.repeat(np.arange(n), w)
+    a = sp.csr_matrix((vals.ravel(), (rows, cols.ravel())), shape=(n, n_cols))
+    return cols, vals, a
+
+
+def test_pack_revalue_spmv_matches_scipy(rng):
+    n, w = 300, 7
+    cols, vals, a = _random_ell(n, w, rng)
+    perm = rng.permutation(n)
+    pat = pack_pattern(cols, perm)
+    op = PallasEll.from_ell_values(pat, jnp.asarray(pat.slots),
+                                   jnp.asarray(vals, jnp.float32),
+                                   interpret=True)
+    x = rng.standard_normal(n)
+    x_t = to_tiles(jnp.asarray(x, jnp.float32), jnp.asarray(perm, jnp.int32),
+                   pat.nr)
+    y_t = op.apply(x_t)
+    y = from_tiles(y_t, jnp.asarray(np.argsort(perm), jnp.int32), n)
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
+
+
+def test_pack_rectangular_transfer(rng):
+    n, m, w = 300, 150, 4
+    cols, vals, a = _random_ell(n, w, rng, n_cols=m)
+    row_perm = rng.permutation(n)
+    col_perm = rng.permutation(m)
+    pat = pack_pattern(cols, row_perm, col_perm=col_perm, col_n=m)
+    op = PallasEll.from_ell_values(pat, jnp.asarray(pat.slots),
+                                   jnp.asarray(vals, jnp.float32),
+                                   interpret=True)
+    x = rng.standard_normal(m)
+    x_t = to_tiles(jnp.asarray(x, jnp.float32),
+                   jnp.asarray(col_perm, jnp.int32), pat.col_nr)
+    y_t = op.apply(x_t)
+    y = from_tiles(y_t, jnp.asarray(np.argsort(row_perm), jnp.int32), n)
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
+
+
+def test_pallas_mg3_solver_small_sphere(rng):
+    """End-to-end PallasMG3Solver (interpret) vs scipy on a real flow system."""
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_tracked
+    from meshopticalflow_tpu.models.base import (
+        build_basis, build_flow_system, coarse_system_vals, patch_system_dense)
+    from meshopticalflow_tpu.models.coarse import (build_coarse_space,
+                                                   build_patch_level)
+    from meshopticalflow_tpu.solvers.pallas_mg import (PallasMG3Solver,
+                                                       build_mg_pack)
+    from tests.conftest import make_sphere_mesh
+
+    tris0, verts0 = make_sphere_mesh(2)
+    diag = float(np.linalg.norm(verts0.max(0) - verts0.min(0)))
+    uvs = np.zeros((len(tris0), 3, 2))
+    tris, verts, _, parent, bary = subdivide_tracked(tris0, verts0, uvs,
+                                                     0.3 * diag)
+    cfg = FlowConfig(dtype="float32", dog_weight=0.0)
+    fine_mesh = build_mesh(tris, vertices=verts)
+    coarse_mesh = build_mesh(tris0, vertices=verts0)
+    fine_host, fine_dev = build_basis(fine_mesh, cfg)
+    cs = build_coarse_space(cfg, fine_mesh, fine_host, coarse_mesh, parent, bary)
+    patch, _ = build_patch_level(cfg, coarse_mesh, cs, target_size=4)
+
+    t_f = fine_mesh.n_triangles
+    d = rng.normal(size=(t_f, 2, 2))
+    d_blocks = jnp.asarray(np.einsum("tab,tcb->tac", d, d) + 0.3 * np.eye(2),
+                           jnp.float32)
+    rhs_t = jnp.asarray(rng.normal(size=(t_f, 2)), jnp.float32)
+    lam = jnp.asarray(3e-4, jnp.float32)
+    sys_vals, dt_vals, rhs, fdiag, scale = build_flow_system(
+        fine_dev, d_blocks, rhs_t, lam)
+    c_vals = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
+    a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale, lam,
+                            patch.s2_dense)
+    n1 = cs.coarse_dev.ell_cols.shape[0]
+    c_diag = jnp.take_along_axis(
+        c_vals, jnp.argmax(cs.coarse_dev.ell_cols == jnp.arange(n1)[:, None],
+                           axis=1)[:, None], axis=1)[:, 0]
+
+    pack = build_mg_pack(np.asarray(fine_dev.ell_cols),
+                         np.asarray(cs.coarse_dev.ell_cols), cs.p0,
+                         np.asarray(patch.p12_idx), np.asarray(patch.p12_wt),
+                         int(a2.shape[0]), interpret=True)
+    solver = PallasMG3Solver(pack, sys_vals, fdiag, c_vals, c_diag, a2)
+    x, stats = solver.solve(rhs, tol=1e-6, max_iters=200, chunk=8)
+
+    # scipy oracle
+    n, w = fine_dev.ell_cols.shape
+    a = sp.csr_matrix((np.asarray(sys_vals, np.float64).ravel(),
+                       (np.repeat(np.arange(n), w),
+                        np.asarray(fine_dev.ell_cols).ravel())), shape=(n, n))
+    import scipy.sparse.linalg as spla
+    x_ref = spla.spsolve(a.tocsc(), np.asarray(rhs, np.float64))
+    rel = np.linalg.norm(np.asarray(x, np.float64) - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-3, (rel, int(stats.iterations), float(stats.rel_residual))
+    assert float(stats.rel_residual) < 1e-5
