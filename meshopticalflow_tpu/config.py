@@ -69,6 +69,12 @@ class FlowConfig:
     # 2: host-factored coarse; 3: fully on-device (SA patch coarsest + tiled
     # fine SpMV) — 1.5x faster per flow solve on TPU, identical trajectories.
     flow_mg_levels: int = 3
+    # Flow-solve SpMV backend: "pallas" (block-ELL kernels, tile-space MG,
+    # bf16 smoothing), "xla" (gather+einsum), "auto" = pallas on TPU.
+    flow_backend: str = "auto"
+    # Disk cache of per-mesh init artifacts (subdivision, operators, coarse
+    # spaces, kernel pattern packs) under $MESHFLOW_CACHE (utils/artifacts.py).
+    artifact_cache: bool = True
     flow_min_step: float = 1e-2  # minStepSize (OpticalFlow.cpp:209,510)
     flow_max_steps: int = 4096  # safety cap on tracing iterations (ref: 1e6, FEM.inl:905)
     use_host_cholesky: bool = False  # scipy oracle path for the level solves

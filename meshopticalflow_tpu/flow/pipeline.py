@@ -189,7 +189,8 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
                                refine=config.flow_refine, coarse=coarse,
-                               patch=patch if config.flow_mg_levels >= 3 else None)
+                               patch=patch if config.flow_mg_levels >= 3 else None,
+                               backend=config.flow_backend)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
@@ -288,15 +289,17 @@ class FlowProblem:
         tri_uvs: Optional[np.ndarray] = None,
         textures: Optional[np.ndarray] = None,       # (2, H, W, 3) uint8
         vertex_colors: Optional[np.ndarray] = None,  # (2, V, 3)
+        cache_key: Optional[str] = None,
     ):
         enable_persistent_cache()
         self.config = config
         self.mesh = mesh
+        self._cache_key = cache_key
         dtype = jnp.dtype(config.dtype)
         self.dtype = dtype
         tm = make_trace_mesh(mesh, dtype)
         smooth_ops = make_smoothing_operators(mesh, dtype)
-        self.basis_host, basis = build_basis(mesh, config)
+        self.basis_host, basis = self._build_basis_cached(mesh, config)
         self.vertices = vertices
 
         sig = _preprocess_signals(smooth_ops, jnp.asarray(signals, dtype), config)
@@ -318,27 +321,129 @@ class FlowProblem:
         self.patch = None
         self.vpatch = None
 
+    def _build_basis_cached(self, mesh: HostMesh, config: FlowConfig):
+        """build_basis through the artifact cache (utils/artifacts.py)."""
+        from meshopticalflow_tpu.models.base import BasisDevice, BasisHost
+        from meshopticalflow_tpu.utils.artifacts import cached, key_of
+
+        if not (self._cache_key and config.artifact_cache):
+            return build_basis(mesh, config)
+        bk = key_of("basis", self._cache_key, int(config.vf_mode),
+                    int(config.connection_mode), config.divergence_free)
+
+        def compute():
+            host, dev = build_basis(mesh, config)
+            return dict(name=np.frombuffer(host.name.encode(), np.uint8),
+                        n_coeffs=np.asarray(host.n_coeffs),
+                        p_idx=host.p_idx, p_wt=host.p_wt, smooth=host.smooth,
+                        ell_cols=np.asarray(dev.ell_cols),
+                        s_vals=np.asarray(dev.s_vals, np.float64),
+                        diag_slot=np.asarray(dev.diag_slot),
+                        dt_slots=np.asarray(dev.dt_slots))
+
+        d = cached("basis", bk, compute)
+        from meshopticalflow_tpu.models.base import BasisHost as BH
+        host = BH(bytes(d["name"]).decode(), int(d["n_coeffs"]), d["p_idx"],
+                  d["p_wt"], d["smooth"])
+        dev = BasisDevice(
+            p_idx=jnp.asarray(d["p_idx"], jnp.int32),
+            p_wt=jnp.asarray(d["p_wt"], self.dtype),
+            ell_cols=jnp.asarray(d["ell_cols"], jnp.int32),
+            s_vals=jnp.asarray(d["s_vals"], self.dtype),
+            diag_slot=jnp.asarray(d["diag_slot"], jnp.int32),
+            dt_slots=jnp.asarray(d["dt_slots"], jnp.int32),
+            n_coeffs=int(d["n_coeffs"]))
+        return host, dev
+
     def attach_coarse_space(self, tris0, verts0, parent, bary) -> None:
         """Build the two-level geometric coarse spaces (models/coarse.py)
         from subdivision parent tracking: one for the flow basis, one for
-        the scalar smoothing solves."""
+        the scalar smoothing solves. Served from the artifact cache."""
         from meshopticalflow_tpu.config import VectorFieldMode
+        from meshopticalflow_tpu.models.base import BasisDevice, BasisHost, finalize_basis
         from meshopticalflow_tpu.models.coarse import (
+            CoarseSpace, PatchLevel, VertexCoarse, VertexPatchLevel,
             build_coarse_space, build_patch_level, build_vertex_coarse,
             build_vertex_patch_level_from)
-        coarse_mesh = build_mesh(tris0, vertices=verts0)
-        self.coarse = build_coarse_space(self.config, self.mesh, self.basis_host,
-                                         coarse_mesh, parent, bary)
-        self.vcoarse = build_vertex_coarse(self.config, self.mesh, coarse_mesh,
-                                           parent, bary)
+        from meshopticalflow_tpu.utils.artifacts import cached, key_of
+
+        cfg = self.config
+        whitney = VectorFieldMode(cfg.vf_mode) == VectorFieldMode.WHITNEY
+
+        def compute():
+            coarse_mesh = build_mesh(tris0, vertices=verts0)
+            cs = build_coarse_space(cfg, self.mesh, self.basis_host,
+                                    coarse_mesh, parent, bary)
+            vc = build_vertex_coarse(cfg, self.mesh, coarse_mesh, parent, bary)
+            out = dict(
+                ch_name=np.frombuffer(cs.coarse_host.name.encode(), np.uint8),
+                ch_n=np.asarray(cs.coarse_host.n_coeffs),
+                ch_p_idx=cs.coarse_host.p_idx, ch_p_wt=cs.coarse_host.p_wt,
+                ch_smooth=cs.coarse_host.smooth,
+                cd_ell_cols=np.asarray(cs.coarse_dev.ell_cols),
+                cd_s_vals=np.asarray(cs.coarse_dev.s_vals, np.float64),
+                cd_diag_slot=np.asarray(cs.coarse_dev.diag_slot),
+                cd_dt_slots=np.asarray(cs.coarse_dev.dt_slots),
+                p0=cs.p0, p0_idx=cs.p0_idx, p0_wt=cs.p0_wt,
+                vc_cols0=np.asarray(vc.cols0),
+                vc_m0=np.asarray(vc.m0_vals, np.float64),
+                vc_k0=np.asarray(vc.k0_vals, np.float64),
+                vc_p0_idx=np.asarray(vc.p0_idx), vc_p0_wt=np.asarray(vc.p0_wt, np.float64),
+                vc_m0_csr=vc.m0_csr, vc_k0_csr=vc.k0_csr,
+                has_patch=np.asarray(whitney))
+            if whitney:
+                pl_, patch_ids = build_patch_level(cfg, coarse_mesh, cs)
+                vp = build_vertex_patch_level_from(cfg, vc.m0_csr, vc.k0_csr,
+                                                   coarse_mesh, patch_ids)
+                out.update(
+                    q2_idx=np.asarray(pl_.q2_idx), q2_wt=np.asarray(pl_.q2_wt, np.float64),
+                    s2=np.asarray(pl_.s2_dense, np.float64),
+                    p12_idx=np.asarray(pl_.p12_idx), p12_wt=np.asarray(pl_.p12_wt, np.float64),
+                    vp_m2=np.asarray(vp.m2_dense, np.float64),
+                    vp_k2=np.asarray(vp.k2_dense, np.float64),
+                    vp_p12_idx=np.asarray(vp.p12_idx),
+                    vp_p12_wt=np.asarray(vp.p12_wt, np.float64))
+            return out
+
+        use_cache = bool(self._cache_key and cfg.artifact_cache)
+        ck = key_of("coarse", self._cache_key, int(cfg.vf_mode),
+                    int(cfg.connection_mode), cfg.divergence_free) \
+            if use_cache else ""
+        d = cached("coarse", ck, compute, enabled=use_cache)
+
+        dt = self.dtype
+        ch = BasisHost(bytes(d["ch_name"]).decode(), int(d["ch_n"]),
+                       d["ch_p_idx"], d["ch_p_wt"], d["ch_smooth"])
+        cd = BasisDevice(
+            p_idx=jnp.asarray(d["ch_p_idx"], jnp.int32),
+            p_wt=jnp.asarray(d["ch_p_wt"], dt),
+            ell_cols=jnp.asarray(d["cd_ell_cols"], jnp.int32),
+            s_vals=jnp.asarray(d["cd_s_vals"], dt),
+            diag_slot=jnp.asarray(d["cd_diag_slot"], jnp.int32),
+            dt_slots=jnp.asarray(d["cd_dt_slots"], jnp.int32),
+            n_coeffs=int(d["ch_n"]))
+        self.coarse = CoarseSpace(ch, cd, d["p0"], d["p0_idx"], d["p0_wt"])
+        self.vcoarse = VertexCoarse(
+            cols0=jnp.asarray(d["vc_cols0"], jnp.int32),
+            m0_vals=jnp.asarray(d["vc_m0"], dt),
+            k0_vals=jnp.asarray(d["vc_k0"], dt),
+            p0_idx=jnp.asarray(d["vc_p0_idx"], jnp.int32),
+            p0_wt=jnp.asarray(d["vc_p0_wt"], dt),
+            m0_csr=d["vc_m0_csr"], k0_csr=d["vc_k0_csr"])
         self.patch = None
         self.vpatch = None
-        if VectorFieldMode(self.config.vf_mode) == VectorFieldMode.WHITNEY:
-            self.patch, patch_ids = build_patch_level(self.config, coarse_mesh,
-                                                      self.coarse)
-            self.vpatch = build_vertex_patch_level_from(
-                self.config, self.vcoarse.m0_csr, self.vcoarse.k0_csr,
-                coarse_mesh, patch_ids)
+        if bool(d["has_patch"]):
+            self.patch = PatchLevel(
+                q2_idx=jnp.asarray(d["q2_idx"], jnp.int32),
+                q2_wt=jnp.asarray(d["q2_wt"], dt),
+                s2_dense=jnp.asarray(d["s2"], dt),
+                p12_idx=jnp.asarray(d["p12_idx"], jnp.int32),
+                p12_wt=jnp.asarray(d["p12_wt"], dt))
+            self.vpatch = VertexPatchLevel(
+                m2_dense=jnp.asarray(d["vp_m2"], dt),
+                k2_dense=jnp.asarray(d["vp_k2"], dt),
+                p12_idx=jnp.asarray(d["vp_p12_idx"], jnp.int32),
+                p12_wt=jnp.asarray(d["vp_p12_wt"], dt))
 
     # -- construction ----------------------------------------------------
 
@@ -346,18 +451,48 @@ class FlowProblem:
     def from_texture_inputs(cls, mesh_path: str, texture_paths: Tuple[str, str],
                             config: FlowConfig) -> "FlowProblem":
         """Texture-pair alignment setup (WhitneyFlowViewer::Init texture
-        branch, OpticalFlow.cpp:684-752 + 818)."""
-        data = read_triangle_mesh(mesh_path)
-        if data.face_uvs is None:
-            raise ValueError(f"{mesh_path} has no texture coordinates")
-        diag = float(np.linalg.norm(data.vertices.max(0) - data.vertices.min(0)))
-        tris, verts, uvs = data.faces, data.vertices, data.face_uvs
+        branch, OpticalFlow.cpp:684-752 + 818).
+
+        Host geometry work (PLY parse, subdivision, EdgeXForm tables) is
+        served from the per-mesh artifact cache (utils/artifacts.py)."""
+        from meshopticalflow_tpu.utils.artifacts import cached, file_hash, key_of
+
+        mesh_hash = file_hash(mesh_path)
+        geo_key = key_of("geom", mesh_hash, config.subdivide_edge_length)
+
+        def compute_geo():
+            data = read_triangle_mesh(mesh_path)
+            if data.face_uvs is None:
+                raise ValueError(f"{mesh_path} has no texture coordinates")
+            diag = float(np.linalg.norm(data.vertices.max(0) - data.vertices.min(0)))
+            tris, verts, uvs = data.faces, data.vertices, data.face_uvs
+            edge_len = config.subdivide_edge_length * diag
+            out = dict(tris0=data.faces, verts0=data.vertices,
+                       subdivided=np.asarray(edge_len > 0))
+            if edge_len > 0:
+                tris, verts, uvs, parent, bary = subdivide_tracked(
+                    tris, verts, uvs, edge_len)
+                out.update(parent=parent, bary=bary)
+            mesh = build_mesh(tris, vertices=verts)
+            out.update(tris=tris, verts=verts, uvs=uvs, g=mesh.g,
+                       g_inv=mesh.g_inv, area=mesh.area, opp=mesh.opp,
+                       xform_linear=mesh.xform_linear,
+                       xform_const=mesh.xform_const,
+                       n_vertices=np.asarray(mesh.n_vertices))
+            return out
+
+        gd = cached("geom", geo_key, compute_geo, enabled=config.artifact_cache)
+        tris, verts, uvs = gd["tris"], gd["verts"], gd["uvs"]
+        mesh = HostMesh(triangles=np.asarray(gd["tris"], np.int32), g=gd["g"],
+                        g_inv=gd["g_inv"], area=gd["area"],
+                        opp=np.asarray(gd["opp"], np.int32),
+                        xform_linear=gd["xform_linear"],
+                        xform_const=gd["xform_const"],
+                        n_vertices=int(gd["n_vertices"]))
         coarse = None
-        edge_len = config.subdivide_edge_length * diag
-        if edge_len > 0:
-            tris0, verts0 = tris, verts
-            tris, verts, uvs, parent, bary = subdivide_tracked(tris, verts, uvs, edge_len)
-            coarse = (tris0, verts0, parent, bary)
+        if bool(gd["subdivided"]):
+            coarse = (gd["tris0"], gd["verts0"], gd["parent"], gd["bary"])
+
         tex0 = read_png_rgb(texture_paths[0])
         tex1 = read_png_rgb(texture_paths[1])
         if tex0.shape != tex1.shape:
@@ -366,11 +501,11 @@ class FlowProblem:
         signals = np.stack([
             sample_texture_to_vertices(tris, uvs, t, n_vertices, not config.nearest)
             for t in (tex0, tex1)])
-        mesh = build_mesh(tris, vertices=verts)
         h, w = tex0.shape[:2]
         src = rasterize_texture_source(uvs, w, h, config.pad_radius)
         problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
-                      tri_uvs=uvs, textures=np.stack([tex0, tex1]))
+                      tri_uvs=uvs, textures=np.stack([tex0, tex1]),
+                      cache_key=geo_key)
         if coarse is not None and config.use_multigrid:
             problem.attach_coarse_space(*coarse)
         return problem

@@ -216,6 +216,55 @@ def _revalue(slots, ell_vals, nr: int, k: int, dtype):
     return flat.reshape(nr, k, 128, 128).astype(dtype)
 
 
+def _spmv_multi_kernel(tc_ref, x_ref, vals_ref, o_ref, *, k: int):
+    """One block row, C<=8 right-hand sides: y(8,128) = sum_k xs(8,128) @ vals_t."""
+    i = pl.program_id(0)
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for kk in range(k):
+        xs = x_ref[pl.ds(tc_ref[i * k + kk], 1)][0]        # (8, 128) f32
+        acc = acc + jnp.dot(xs, vals_ref[0, kk].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc
+
+
+@jax.jit
+def spmv_tiles_multi(tile_cols, x_tiles, vals_t):
+    """Multi-rhs matvec: x_tiles (col_nr, 8, 128) -> (nr, 8, 128).
+
+    Channel c of rhs vector x lives at x_tiles[:, c, :] in the row-permuted
+    tile layout (8 channels; pad unused channels with zeros).
+    """
+    nr, k, bc, br = vals_t.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, bc, br), lambda i, tc: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i, tc: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_spmv_multi_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((nr, 8, 128), jnp.float32),
+        grid_spec=grid_spec,
+    )(tile_cols.reshape(-1), x_tiles, vals_t)
+
+
+def to_tiles_multi(v, perm, nr: int):
+    """(n, C<=8) -> (nr, 8, 128) channel-sublane tile layout."""
+    n, c = v.shape
+    vp = jnp.zeros((nr * 128, 8), v.dtype).at[:n, :c].set(v[perm])
+    return vp.reshape(nr, 128, 8).transpose(0, 2, 1)
+
+
+def from_tiles_multi(vt, inv_perm, n: int, c: int):
+    """(nr, 8, 128) -> (n, C)."""
+    flat = vt.transpose(0, 2, 1).reshape(-1, 8)[:n, :c]
+    return flat[inv_perm]
+
+
 # -- tile-space vector helpers -------------------------------------------
 
 def to_tiles(v, perm, nr: int):

@@ -236,6 +236,7 @@ def update_optical_flow(
     refine: bool = True,
     coarse=None,   # models.coarse.CoarseSpace device handles (two-level MG)
     patch=None,    # models.coarse.PatchLevel (fully on-device 3-level MG)
+    backend: str = "auto",  # flow SpMV backend: pallas | xla | auto
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -273,7 +274,30 @@ def update_optical_flow(
         from meshopticalflow_tpu.solvers.refine import refine_loop
         c_vals = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
                                     vf_smooth_weight)
-        if patch is not None:
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if patch is not None and backend == "pallas":
+            # Round-2 production path: Pallas block-ELL kernels, tile-space
+            # state, bf16 smoothing (solvers/pallas_mg.py). The pattern pack
+            # is static per problem — built once, cached on the patch level.
+            from meshopticalflow_tpu.solvers.pallas_mg import (
+                PallasMG3Solver, build_mg_pack)
+            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
+                                    vf_smooth_weight, patch.s2_dense)
+            pack = getattr(patch, "_pallas_pack", None)
+            if pack is None:
+                import numpy as np
+                pack = build_mg_pack(np.asarray(basis.ell_cols),
+                                     np.asarray(coarse.coarse_dev.ell_cols),
+                                     coarse.p0,
+                                     np.asarray(patch.p12_idx),
+                                     np.asarray(patch.p12_wt),
+                                     int(a2.shape[0]))
+                setattr(patch, "_pallas_pack", pack)
+            c_diag = jnp.take_along_axis(
+                c_vals, coarse.coarse_dev.diag_slot[:, None], axis=1)[:, 0]
+            solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag, a2)
+        elif patch is not None:
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
                                     vf_smooth_weight, patch.s2_dense)

@@ -1,0 +1,94 @@
+"""Per-mesh artifact cache for expensive init-time host computations.
+
+The reference rebuilds everything per invocation (181 s e2e at the 2K
+bench); production TPU serving re-runs the same mesh many times, so
+subdivision, operator assembly, coarse spaces and pattern packs are cached
+on disk keyed by input-content hashes + config. ~60 s of host init becomes
+a few seconds of npz loads on a warm cache.
+
+Layout: $MESHFLOW_CACHE (default ~/.cache/meshflow_artifacts)/<tag>-<key>.npz
+Scipy CSR matrices are stored as <name>__{data,indices,indptr,shape}.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+# Bump when cached array semantics change.
+_VERSION = "r2a"
+
+
+def cache_dir() -> str:
+    d = os.environ.get("MESHFLOW_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "meshflow_artifacts"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def file_hash(path: str) -> str:
+    h = hashlib.sha1()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def key_of(*parts) -> str:
+    return hashlib.sha1(repr((_VERSION,) + parts).encode()).hexdigest()[:16]
+
+
+def _flatten(d: Dict) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in d.items():
+        if sp.issparse(v):
+            csr = sp.csr_matrix(v)
+            out[f"{k}__data"] = csr.data
+            out[f"{k}__indices"] = csr.indices
+            out[f"{k}__indptr"] = csr.indptr
+            out[f"{k}__shape"] = np.asarray(csr.shape)
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _unflatten(z) -> Dict:
+    names = set(z.files)
+    out: Dict = {}
+    done = set()
+    for name in names:
+        if "__" in name:
+            base = name.split("__")[0]
+            if base in done:
+                continue
+            done.add(base)
+            out[base] = sp.csr_matrix(
+                (z[f"{base}__data"], z[f"{base}__indices"], z[f"{base}__indptr"]),
+                shape=tuple(z[f"{base}__shape"]))
+        else:
+            out[name] = z[name]
+    return out
+
+
+def cached(tag: str, key: str, compute: Callable[[], Dict],
+           enabled: bool = True) -> Dict:
+    """Load {name: array-or-csr} from cache, or compute and store it."""
+    if not enabled:
+        return compute()
+    path = os.path.join(cache_dir(), f"{tag}-{key}.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                return _unflatten(z)
+        except Exception:
+            pass  # corrupt/stale -> recompute
+    out = compute()
+    tmp = path + f".{os.getpid()}.tmp.npz"   # np.savez appends .npz otherwise
+    np.savez(tmp, **_flatten(out))
+    os.replace(tmp, path)
+    return out

@@ -112,3 +112,39 @@ def test_pallas_mg3_solver_small_sphere(rng):
     rel = np.linalg.norm(np.asarray(x, np.float64) - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-3, (rel, int(stats.iterations), float(stats.rel_residual))
     assert float(stats.rel_residual) < 1e-5
+
+
+def test_spmv_multi_rhs_matches_scipy(rng):
+    from meshopticalflow_tpu.kernels.pallas_spmv import (
+        PallasEll, from_tiles_multi, spmv_tiles_multi, to_tiles_multi)
+    n, w, c = 300, 7, 6
+    cols, vals, a = _random_ell(n, w, rng)
+    perm = rng.permutation(n)
+    pat = pack_pattern(cols, perm)
+    op = PallasEll.from_ell_values(pat, jnp.asarray(pat.slots),
+                                   jnp.asarray(vals, jnp.float32),
+                                   interpret=True)
+    x = rng.standard_normal((n, c))
+    x_t = to_tiles_multi(jnp.asarray(x, jnp.float32),
+                         jnp.asarray(perm, jnp.int32), pat.nr)
+    import functools
+    call = functools.partial(spmv_tiles_multi.__wrapped__
+                             if hasattr(spmv_tiles_multi, "__wrapped__")
+                             else spmv_tiles_multi)
+    # interpret mode: call the pallas op through the op's tiles directly
+    from meshopticalflow_tpu.kernels import pallas_spmv as ps
+    import jax.experimental.pallas as pl
+    y_t = ps.pl.pallas_call(
+        functools.partial(ps._spmv_multi_kernel, k=pat.k),
+        out_shape=jax.ShapeDtypeStruct((pat.nr, 8, 128), jnp.float32),
+        grid_spec=ps.pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(pat.nr,),
+            in_specs=[ps.pl.BlockSpec(memory_space=ps.pltpu.VMEM),
+                      ps.pl.BlockSpec((1, pat.k, 128, 128),
+                                      lambda i, tc: (i, 0, 0, 0),
+                                      memory_space=ps.pltpu.VMEM)],
+            out_specs=ps.pl.BlockSpec((1, 8, 128), lambda i, tc: (i, 0, 0))),
+        interpret=True,
+    )(op.tile_cols.reshape(-1), x_t, op.vals_t)
+    y = from_tiles_multi(y_t, jnp.asarray(np.argsort(perm), jnp.int32), n, c)
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
