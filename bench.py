@@ -81,6 +81,8 @@ def main():
             "pipeline_texels_per_sec": round(texels / pipeline_s, 1),
             "final_alignment_error": round(float(res.metrics[-1]["alignment_error"]), 4),
             "triangles": prob.mesh.n_triangles,
+            "init_profile": getattr(prob, "init_profile", {}),
+            "level_seconds": [round(m["seconds"], 2) for m in res.metrics],
         },
     }
     print(json.dumps(result))

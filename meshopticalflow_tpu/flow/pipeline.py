@@ -290,19 +290,37 @@ class FlowProblem:
         textures: Optional[np.ndarray] = None,       # (2, H, W, 3) uint8
         vertex_colors: Optional[np.ndarray] = None,  # (2, V, 3)
         cache_key: Optional[str] = None,
+        device_mesh=None,   # jax.sharding.Mesh: run the SAME pipeline sharded
     ):
         enable_persistent_cache()
+        if device_mesh is not None:
+            # GSPMD shards the jitted stages; the Pallas kernels are
+            # single-device, so multi-chip runs use the XLA operator path.
+            config = dataclasses.replace(config, flow_backend="xla")
+        self.device_mesh = device_mesh
         self.config = config
         self.mesh = mesh
         self._cache_key = cache_key
+        self.init_profile: Dict[str, float] = {}
+        _t = time.time()
+
+        def _mark(name):
+            nonlocal _t
+            self.init_profile[name] = round(time.time() - _t, 2)
+            _t = time.time()
+
         dtype = jnp.dtype(config.dtype)
         self.dtype = dtype
         tm = make_trace_mesh(mesh, dtype)
         smooth_ops = make_smoothing_operators(mesh, dtype)
+        _mark("device_tables")
         self.basis_host, basis = self._build_basis_cached(mesh, config)
+        _mark("basis")
         self.vertices = vertices
 
         sig = _preprocess_signals(smooth_ops, jnp.asarray(signals, dtype), config)
+        sig.block_until_ready()
+        _mark("preprocess_signals")
         self.arrays = ProblemArrays(tm=tm, smooth_ops=smooth_ops, basis=basis,
                                     signals=sig, area=jnp.asarray(mesh.area, dtype))
 
@@ -314,12 +332,38 @@ class FlowProblem:
             self.src_t = jnp.asarray(texture_source.tri_idx)
             self.src_p = jnp.asarray(texture_source.bary, dtype)
             self._exp_remap_texels()
+        _mark("exp_remap")
         self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
         self.tfield = jnp.zeros((mesh.n_triangles, 2), dtype)
+        if device_mesh is not None:
+            self._place_on_mesh(device_mesh)
+            _mark("shard_placement")
         self.coarse = None
         self.vcoarse = None
         self.patch = None
         self.vpatch = None
+
+    def _place_on_mesh(self, device_mesh) -> None:
+        """Place the problem arrays over a device mesh (SURVEY.md section
+        2.7): big row-indexed arrays (ELL operators, signals, texel lanes)
+        shard on the leading axis; trace tables and small arrays replicate.
+        GSPMD then inserts the collectives (all-gathers for x[cols], psum
+        for CG dots) in the SAME jitted stages single-chip runs use."""
+        from meshopticalflow_tpu.parallel.sharding import level_step_shardings
+
+        spec = level_step_shardings(device_mesh, self.arrays)
+        self.arrays = jax.device_put(self.arrays, spec)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(device_mesh, P())
+        lane = NamedSharding(device_mesh, P(device_mesh.axis_names[0]))
+        self.coeffs = jax.device_put(self.coeffs, rep)
+        self.tfield = jax.device_put(self.tfield, rep)
+        n = device_mesh.devices.size
+        if self.texture_source is not None and self.src_t.shape[0] % n == 0:
+            self.src_t = jax.device_put(self.src_t, lane)
+            self.src_p = jax.device_put(
+                self.src_p, NamedSharding(device_mesh,
+                                          P(device_mesh.axis_names[0], None)))
 
     def _build_basis_cached(self, mesh: HostMesh, config: FlowConfig):
         """build_basis through the artifact cache (utils/artifacts.py)."""
@@ -481,7 +525,9 @@ class FlowProblem:
                        n_vertices=np.asarray(mesh.n_vertices))
             return out
 
+        _t0 = time.time()
         gd = cached("geom", geo_key, compute_geo, enabled=config.artifact_cache)
+        _geom_s = round(time.time() - _t0, 2)
         tris, verts, uvs = gd["tris"], gd["verts"], gd["uvs"]
         mesh = HostMesh(triangles=np.asarray(gd["tris"], np.int32), g=gd["g"],
                         g_inv=gd["g_inv"], area=gd["area"],
@@ -498,16 +544,23 @@ class FlowProblem:
         if tex0.shape != tex1.shape:
             raise ValueError(f"texture shapes differ: {tex0.shape} vs {tex1.shape}")
         n_vertices = int(tris.max()) + 1
+        _t0 = time.time()
         signals = np.stack([
             sample_texture_to_vertices(tris, uvs, t, n_vertices, not config.nearest)
             for t in (tex0, tex1)])
+        _bake_s = round(time.time() - _t0, 2)
         h, w = tex0.shape[:2]
+        _t0 = time.time()
         src = rasterize_texture_source(uvs, w, h, config.pad_radius)
+        _raster_s = round(time.time() - _t0, 2)
         problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
                       tri_uvs=uvs, textures=np.stack([tex0, tex1]),
                       cache_key=geo_key)
+        problem.init_profile.update(geom=_geom_s, bake=_bake_s, raster=_raster_s)
         if coarse is not None and config.use_multigrid:
+            _t0 = time.time()
             problem.attach_coarse_space(*coarse)
+            problem.init_profile["coarse"] = round(time.time() - _t0, 2)
         return problem
 
     @classmethod
@@ -640,17 +693,30 @@ class FlowProblem:
     def advected_textures(self, alpha: float = 0.5) -> np.ndarray:
         """Advect both textures to the halfway point
         (InputTextureData::flow, OpticalFlow.cpp:501-515). Returns (2, H, W, 3)
-        in uv-space row order; unclaimed texels keep the input."""
+        in uv-space row order; unclaimed texels keep the input.
+
+        Texel marching runs with between-phase lane compaction
+        (kernels/advect.py): path lengths are heavy-tailed, so the march
+        re-batches the surviving lanes every few dozen steps."""
+        import sys as _sys
+
+        from meshopticalflow_tpu.kernels.advect import advect_texture_compacted
+
         cfg = self.config
         src = self.texture_source
         h, w = src.height, src.width
         outs = []
         for s in range(2):
             length = -alpha if s == 0 else 1.0 - alpha
-            out = _advect_texture_jit(
+            colors, _, _, exhausted = advect_texture_compacted(
                 self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
                 self.src_t, self.src_p, jnp.asarray(length, self.dtype),
                 cfg.flow_min_step, cfg.flow_max_steps, not cfg.nearest)
+            if exhausted:
+                print(f"[WARNING] texture advection: {exhausted} texel lanes "
+                      f"hit the {cfg.flow_max_steps}-step cap", file=_sys.stderr)
+            base = jnp.flipud(self.textures[s]).reshape(-1, 3)
+            out = jnp.where((self.src_t >= 0)[:, None], colors, base)
             outs.append(out.reshape(h, w, 3))
         return np.stack([np.asarray(o) for o in outs])
 

@@ -106,6 +106,8 @@ def flow_field_trace(
     max_steps: int = 4096,
     eps: float = 0.0,
     with_diagnostics: bool = False,
+    init_state: Optional[dict] = None,
+    with_state: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched FEM::RiemannianMesh::flow (FEM.inl:901-994). Returns final
     (t_idx, p); lanes with t_idx < 0 pass through unchanged. ``flow_time``
@@ -114,7 +116,12 @@ def flow_field_trace(
     ``with_diagnostics`` appends the number of lanes still active when the
     loop exited — lanes frozen mid-path by the ``max_steps`` cap. The
     reference warns per-lane on cap exhaustion (FEM.inl:897,992); here the
-    count is surfaced so callers can log it (VERDICT round 1, weak #5)."""
+    count is surfaced so callers can log it (VERDICT round 1, weak #5).
+
+    ``with_state`` returns the raw carried state instead, and ``init_state``
+    resumes from one — together they let hosts run the march in bounded
+    chunks and COMPACT finished lanes away between chunks (the lane
+    distribution is heavy-tailed; see kernels/advect.py)."""
     dtype = p.dtype
     n = p.shape[0]
     flow_time = jnp.broadcast_to(jnp.asarray(flow_time, dtype), (n,))
@@ -127,16 +134,19 @@ def flow_field_trace(
     # Tie scalar-derived carries to the (possibly device-varying) lane inputs
     # so the while_loop carry is type-stable under shard_map.
     zero_like_lane = t_safe * 0
-    state = dict(
-        t=t_safe,
-        p=p,
-        v=v0,
-        ft=ft0 + p[:, 0] * 0,
-        step_left=jnp.full(n, jnp.asarray(min_step, dtype)) + p[:, 0] * 0,
-        in_edge=jnp.full(n, -1, jnp.int32) + zero_like_lane,
-        active=valid & (jnp.sum(v0 * v0, -1) > 0),
-        count=jnp.asarray(0, jnp.int32),
-    )
+    if init_state is not None:
+        state = dict(init_state, count=jnp.asarray(0, jnp.int32))
+    else:
+        state = dict(
+            t=t_safe,
+            p=p,
+            v=v0,
+            ft=ft0 + p[:, 0] * 0,
+            step_left=jnp.full(n, jnp.asarray(min_step, dtype)) + p[:, 0] * 0,
+            in_edge=jnp.full(n, -1, jnp.int32) + zero_like_lane,
+            active=valid & (jnp.sum(v0 * v0, -1) > 0),
+            count=jnp.asarray(0, jnp.int32),
+        )
 
     def cond(s):
         return (s["count"] < max_steps) & jnp.any(s["active"])
@@ -205,6 +215,8 @@ def flow_field_trace(
     # consumers, and re-fused copies of branchy marching code can diverge
     # from the returned values (observed on CPU XLA with multi-loop graphs).
     out = lax.optimization_barrier(out)
+    if with_state:
+        return out
     final_t = jnp.where(valid, out["t"], t_idx)
     final_p = jnp.where(valid[:, None], out["p"], p)
     if with_diagnostics:

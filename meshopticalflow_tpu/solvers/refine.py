@@ -51,11 +51,14 @@ def _host_csr(cols: jnp.ndarray, vals: jnp.ndarray) -> sp.csr_matrix:
 
 
 def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
-                max_rounds: int = 5):
+                max_rounds: int = 5, inner_floor: float = 1e-6):
     """Iterative refinement around an arbitrary inner solver.
 
-    ``inner_solve(r_device) -> (e_device, CGStats)`` approximately solves
-    A e = r; residuals are evaluated in float64 on host.
+    ``inner_solve(r_device, inner_tol) -> (e_device, CGStats)`` approximately
+    solves A e = r to relative tolerance ``inner_tol``; residuals are
+    evaluated in float64 on host. The per-round inner tolerance adapts:
+    round k only needs to close the REMAINING gap (tol / rel), so late
+    rounds run a fraction of the first round's iterations.
     """
     a_host = _host_csr(cols, vals)
     b_host = np.asarray(b, np.float64)
@@ -76,7 +79,8 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
             break
         prev_rel = rel
         scale = float(np.max(np.abs(r))) or 1.0
-        e, stats = inner_solve(jnp.asarray(r / scale, b.dtype))
+        inner_tol = min(max(tol / rel, inner_floor), 0.5)
+        e, stats = inner_solve(jnp.asarray(r / scale, b.dtype), inner_tol)
         total_iters += int(stats.iterations)
         x = x + np.asarray(e, np.float64) * scale
     else:

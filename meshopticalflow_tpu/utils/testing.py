@@ -49,7 +49,8 @@ def sphere_signal_pair(subdiv: int = 2, angle: float = 0.12):
     return tris, verts, f(verts), f(verts @ rot.T)
 
 
-def synthetic_sphere_problem(config=None, subdiv: int = 2, angle: float = 0.12):
+def synthetic_sphere_problem(config=None, subdiv: int = 2, angle: float = 0.12,
+                             device_mesh=None):
     """A ready FlowProblem on a synthetic rotated-signal sphere pair."""
     from meshopticalflow_tpu.config import FlowConfig
     from meshopticalflow_tpu.flow.pipeline import FlowProblem
@@ -59,4 +60,5 @@ def synthetic_sphere_problem(config=None, subdiv: int = 2, angle: float = 0.12):
     tris, verts, sig0, sig1 = sphere_signal_pair(subdiv, angle)
     mesh = build_mesh(tris, vertices=verts)
     return FlowProblem(config, mesh, np.stack([sig0, sig1]), vertices=verts,
-                       vertex_colors=np.stack([sig0, sig1]))
+                       vertex_colors=np.stack([sig0, sig1]),
+                       device_mesh=device_mesh)
