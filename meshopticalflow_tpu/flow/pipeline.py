@@ -69,19 +69,43 @@ class FlowResult:
 # ----------------------------------------------------------------------------
 
 def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
-                        config: FlowConfig) -> jnp.ndarray:
+                        config: FlowConfig, vcoarse=None, vpatch=None) -> jnp.ndarray:
     """Comparison-signal construction (OpticalFlow.cpp:820-857).
 
     raw: (2, V, 3) -> (V, 2C) channel-stacked preprocessed signals.
-    Host-orchestrated (the DoG band contains a chunked solve).
-    """
+    Host-orchestrated (the DoG band contains a chunked solve). When the
+    vertex multigrid hierarchy is available (vcoarse/vpatch) the DoG
+    screened-Poisson solve runs through it — the dogSmooth=1e-4 system is
+    stiffness-dominated and plain Jacobi-PCG needs thousands of iterations
+    (~7 min of the round-1 init); MG converges in tens."""
     sig = raw
     if config.log_space:
         sig = log_space(sig)
     if config.dog_weight > 0:
         stacked = jnp.concatenate([sig[0], sig[1]], axis=1)        # (V, 6)
-        bands = dog_band(smooth_ops, stacked, config.dog_smooth,
-                         tol=config.cg_tol, max_iters=config.cg_max_iters)
+        if vcoarse is not None:
+            from meshopticalflow_tpu.flow.signal import _dog_renormalize, _smooth_system
+            sys_vals, b, diag = _smooth_system(smooth_ops, stacked,
+                                               config.dog_smooth)
+            c_vals = vcoarse.m0_vals + config.dog_smooth * vcoarse.k0_vals
+            if vpatch is not None:
+                from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
+                a2 = vpatch.m2_dense + config.dog_smooth * vpatch.k2_dense
+                solver = ThreeLevelSolver(smooth_ops.cols, sys_vals, diag,
+                                          vcoarse.cols0, c_vals, vcoarse.p0_idx,
+                                          vcoarse.p0_wt, a2, vpatch.p12_idx,
+                                          vpatch.p12_wt)
+            else:
+                from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+                solver = TwoLevelSolver(smooth_ops.cols, sys_vals, diag,
+                                        vcoarse.cols0, c_vals, vcoarse.p0_idx,
+                                        vcoarse.p0_wt)
+            smoothed, _ = solver.solve(b, x0=stacked, tol=config.cg_tol,
+                                       max_iters=min(config.cg_max_iters, 400))
+            bands = _dog_renormalize(smooth_ops, stacked, smoothed)
+        else:
+            bands = dog_band(smooth_ops, stacked, config.dog_smooth,
+                             tol=config.cg_tol, max_iters=config.cg_max_iters)
         if config.channels == 6:
             out0 = jnp.concatenate([sig[0] * (1 - config.dog_weight),
                                     bands[:, :3] * config.dog_weight], axis=1)
@@ -291,6 +315,7 @@ class FlowProblem:
         vertex_colors: Optional[np.ndarray] = None,  # (2, V, 3)
         cache_key: Optional[str] = None,
         device_mesh=None,   # jax.sharding.Mesh: run the SAME pipeline sharded
+        defer_signals: bool = False,  # preprocess after the MG hierarchy exists
     ):
         enable_persistent_cache()
         if device_mesh is not None:
@@ -318,11 +343,18 @@ class FlowProblem:
         _mark("basis")
         self.vertices = vertices
 
-        sig = _preprocess_signals(smooth_ops, jnp.asarray(signals, dtype), config)
-        sig.block_until_ready()
-        _mark("preprocess_signals")
+        # The DoG preprocessing solve wants the vertex MG hierarchy, which is
+        # attached after construction — defer it when the caller will attach.
+        self._signals_raw = jnp.asarray(signals, dtype)
+        self._signals_ready = False
+        placeholder = jnp.zeros((self._signals_raw.shape[1], 2 * config.channels),
+                                dtype)
         self.arrays = ProblemArrays(tm=tm, smooth_ops=smooth_ops, basis=basis,
-                                    signals=sig, area=jnp.asarray(mesh.area, dtype))
+                                    signals=placeholder,
+                                    area=jnp.asarray(mesh.area, dtype))
+        if not defer_signals:
+            self._ensure_signals()
+        _mark("preprocess_signals")
 
         self.texture_source = texture_source
         self.textures = None if textures is None else jnp.asarray(textures, dtype)
@@ -342,6 +374,26 @@ class FlowProblem:
         self.vcoarse = None
         self.patch = None
         self.vpatch = None
+
+    def _ensure_signals(self) -> None:
+        """Run the comparison-signal preprocessing (idempotent), using the
+        vertex MG hierarchy when attached."""
+        if self._signals_ready:
+            return
+        import time as _time
+        _t0 = _time.time()
+        sig = _preprocess_signals(self.arrays.smooth_ops, self._signals_raw,
+                                  self.config, getattr(self, "vcoarse", None),
+                                  getattr(self, "vpatch", None))
+        sig.block_until_ready()
+        if self.device_mesh is not None and \
+                sig.shape[0] % self.device_mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sig = jax.device_put(sig, NamedSharding(
+                self.device_mesh, P(self.device_mesh.axis_names[0])))
+        self.arrays = self.arrays.replace(signals=sig)
+        self._signals_ready = True
+        self.init_profile["preprocess_solve"] = round(_time.time() - _t0, 2)
 
     def _place_on_mesh(self, device_mesh) -> None:
         """Place the problem arrays over a device mesh (SURVEY.md section
@@ -488,6 +540,7 @@ class FlowProblem:
                 k2_dense=jnp.asarray(d["vp_k2"], dt),
                 p12_idx=jnp.asarray(d["vp_p12_idx"], jnp.int32),
                 p12_wt=jnp.asarray(d["vp_p12_wt"], dt))
+        self._ensure_signals()
 
     # -- construction ----------------------------------------------------
 
@@ -553,11 +606,12 @@ class FlowProblem:
         _t0 = time.time()
         src = rasterize_texture_source(uvs, w, h, config.pad_radius)
         _raster_s = round(time.time() - _t0, 2)
+        will_attach = coarse is not None and config.use_multigrid
         problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
                       tri_uvs=uvs, textures=np.stack([tex0, tex1]),
-                      cache_key=geo_key)
+                      cache_key=geo_key, defer_signals=will_attach)
         problem.init_profile.update(geom=_geom_s, bake=_bake_s, raster=_raster_s)
-        if coarse is not None and config.use_multigrid:
+        if will_attach:
             _t0 = time.time()
             problem.attach_coarse_space(*coarse)
             problem.init_profile["coarse"] = round(time.time() - _t0, 2)
@@ -613,6 +667,7 @@ class FlowProblem:
         import sys
 
         cfg = self.config
+        self._ensure_signals()
         coeffs, tfield = self.coeffs, self.tfield
         s_weight = cfg.scalar_smooth_weight
         v_weight = cfg.resolved_vf_smooth_weight()

@@ -1,0 +1,171 @@
+"""Property tests for the full vector-field FEM operator family (ops/fem_ops)."""
+
+import numpy as np
+import pytest
+
+from meshopticalflow_tpu.geometry.mesh import build_mesh, rotate90
+from meshopticalflow_tpu.ops import fem_ops as F
+from tests.conftest import make_sphere_mesh, make_grid_mesh
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    tris, verts = make_sphere_mesh(2)
+    return build_mesh(tris, vertices=verts)
+
+
+@pytest.fixture(scope="module")
+def flat():
+    tris, verts = make_grid_mesh(5)
+    return build_mesh(tris, vertices=verts, make_unit_area=False)
+
+
+def test_tensor_root(sphere):
+    root = F.tensor_root(sphere.g)
+    np.testing.assert_allclose(np.einsum("tab,tbc->tac", root, root),
+                               sphere.g, atol=1e-12)
+
+
+def test_trace_weights_reproduce_inverse_metric(sphere):
+    dirs = F.derivative_directions(sphere, F.DUAL_BARYCENTRIC)
+    w = F.trace_weights(sphere.g, dirs)
+    lhs = np.einsum("tk,tka,tkb->tab", w, dirs, dirs)
+    np.testing.assert_allclose(lhs, np.linalg.inv(sphere.g), atol=1e-9)
+
+
+def test_linear_fit_recovers_linear_operator(sphere):
+    rng = np.random.default_rng(0)
+    dirs = F.derivative_directions(sphere, F.DUAL_BARYCENTRIC)
+    l0 = rng.normal(size=(2, 2))
+    vals = np.einsum("ab,tkb->tka", l0, dirs)               # exact values
+    fit = F.linear_fit(dirs)                                 # (T, 6, 4)
+    coeffs = np.einsum("tiq,ti->tq", fit, vals.reshape(-1, 6))
+    np.testing.assert_allclose(coeffs, np.tile(l0.reshape(-1), (len(dirs), 1)),
+                               atol=1e-8)
+
+
+def test_dual_centers_coincide_for_equilateral():
+    # Metric making the chart right triangle equilateral (all edges length 1).
+    g = np.tile(np.array([[1.0, 0.5], [0.5, 1.0]]), (4, 1, 1))
+    for dual in range(F.DUAL_COUNT):
+        c = F.dual_center(g, dual)
+        np.testing.assert_allclose(c, 1.0 / 3.0, atol=1e-9,
+                                   err_msg=f"dual type {dual}")
+
+
+def test_center_areas_sum_to_area(sphere):
+    for dual in (F.DUAL_BARYCENTRIC, F.DUAL_INCENTRIC, F.DUAL_CIRCUMCENTRIC):
+        areas = F.center_areas(sphere.g, dual)
+        np.testing.assert_allclose(areas.sum(1), sphere.area, rtol=1e-9)
+
+
+def test_rotate90_matrix_squares_to_minus_identity(sphere):
+    r = F.vector_field_rotate90_matrix(sphere)
+    r2 = (r @ r).toarray()
+    np.testing.assert_allclose(r2, -np.eye(r.shape[0]), atol=1e-9)
+    # Isometry wrt the vector-field mass: R^T M R = M.
+    m = F.vector_field_mass_matrix(sphere)
+    np.testing.assert_allclose((r.T @ m @ r).toarray(), m.toarray(), atol=1e-9)
+
+
+def test_dot_mass_quadratic_form(sphere):
+    rng = np.random.default_rng(1)
+    t = sphere.n_triangles
+    v = rng.normal(size=(t, 2))
+    x = rng.normal(size=(t, 2))
+    m = F.vector_field_dot_mass_matrix(sphere, v)
+    lhs = x.reshape(-1) @ (m @ x.reshape(-1))
+    dots = np.einsum("ta,tab,tb->t", x, sphere.g, v)
+    np.testing.assert_allclose(lhs, np.sum(sphere.area * dots ** 2), rtol=1e-9)
+
+
+def _flat_constant_chart_field(tris, verts, v3d=np.array([1.0, -0.7])):
+    """Chart components of a constant planar field: v_chart = J_t^-1 v."""
+    p0 = verts[tris[:, 0]][:, :2]
+    e1 = (verts[tris[:, 1]] - verts[tris[:, 0]])[:, :2]
+    e2 = (verts[tris[:, 2]] - verts[tris[:, 0]])[:, :2]
+    jac = np.stack([e1, e2], axis=-1)                    # columns e1|e2
+    return np.linalg.solve(jac, np.broadcast_to(v3d, (len(tris), 2))[..., None])[..., 0]
+
+
+def test_stiffness_symmetric_psd_kills_flat_constants(flat):
+    s = F.vector_field_stiffness_matrix(flat, F.DUAL_BARYCENTRIC, 0)
+    sd = s.toarray()
+    np.testing.assert_allclose(sd, sd.T, atol=1e-10)
+    w = np.linalg.eigvalsh((sd + sd.T) / 2)
+    assert w.min() > -1e-9
+    # A constant planar field (expressed per chart) is transport-consistent
+    # on a flat mesh, so interior finite differences vanish.
+    tris, verts = make_grid_mesh(5)
+    t = flat.n_triangles
+    const = _flat_constant_chart_field(tris, verts).reshape(-1)
+    interior_t = np.nonzero((flat.opp.reshape(t, 3) >= 0).all(1))[0]
+    resid = (sd @ const).reshape(t, 2)[interior_t]
+    np.testing.assert_allclose(resid, 0.0, atol=1e-9)
+
+
+def test_mc_stiffness_reduces_to_quadrature_stiffness(sphere):
+    """FEM.h:217: vectorFieldStiffnessMatrix_ (no linear fit) must equal
+    vectorFieldStiffnessMatrix for the same dual/quadrature settings."""
+    for dual in (F.DUAL_BARYCENTRIC, F.DUAL_INCENTRIC):
+        for quad in (0, F.QUADRATURE_ANGULAR,
+                     F.QUADRATURE_ANGULAR | F.QUADRATURE_SQUARE_LENGTH):
+            a = F.vector_field_stiffness_matrix(sphere, dual, quad)
+            b = F.vector_field_stiffness_matrix_mc(sphere, dual, quad,
+                                                   linear_fit_=False)
+            assert abs(a - b).max() < 1e-9 * max(abs(a).max(), 1.0), (dual, quad)
+
+
+def test_stiffness_centers_variant_matches_barycentric(sphere):
+    """The explicit-centers overload at barycenters equals the dual-type
+    path up to its 2/3-vs-quadrature weighting of the same structure."""
+    centers = np.full((sphere.n_triangles, 2), 1.0 / 3.0)
+    s = F.vector_field_stiffness_matrix_centers(sphere, centers)
+    sd = s.toarray()
+    np.testing.assert_allclose(sd, sd.T, atol=1e-10)
+    w = np.linalg.eigvalsh((sd + sd.T) / 2)
+    assert w.min() > -1e-8
+
+
+def test_divergence_of_flat_constant_field_is_zero(flat):
+    div = F.vector_field_divergence_matrix(flat)
+    t = flat.n_triangles
+    tris, verts = make_grid_mesh(5)
+    const = _flat_constant_chart_field(tris, verts, np.array([0.3, 0.9])).reshape(-1)
+    interior_t = np.nonzero((flat.opp.reshape(t, 3) >= 0).all(1))[0]
+    np.testing.assert_allclose((div @ const)[interior_t], 0.0, atol=1e-9)
+
+
+def test_covariant_traces_vanish_on_flat_constants(flat):
+    t = flat.n_triangles
+    tris, verts = make_grid_mesh(5)
+    const = _flat_constant_chart_field(tris, verts, np.array([0.5, -1.2])).reshape(-1)
+    interior_t = np.nonzero((flat.opp.reshape(t, 3) >= 0).all(1))[0]
+    for fn in (F.vector_field_covariant_derivative_trace_matrix,
+               F.vector_field_covariant_derivative_trace_matrix2):
+        tr = fn(flat, F.DUAL_BARYCENTRIC)
+        np.testing.assert_allclose((tr @ const)[interior_t], 0.0, atol=1e-8)
+
+
+def test_gradient_matrix_exact_for_linear(flat):
+    """On the flat grid, hat-gradient of a linear vertex function is its
+    constant chart gradient (g^-1 applied to covariant components)."""
+    tris, verts = make_grid_mesh(5)
+    f = 2.0 * verts[:, 0] - 3.0 * verts[:, 1]
+    grad = F.gradient_matrix(flat, F.HAT_GRADIENT)
+    out = (grad @ f).reshape(flat.n_triangles, 2)
+    # chart gradient maps to embedded gradient via the edge frame:
+    # v_embedded = e1 * out[0] + e2 * out[1] must equal (2, -3, 0).
+    p0 = verts[tris[:, 0]]
+    e1 = verts[tris[:, 1]] - p0
+    e2 = verts[tris[:, 2]] - p0
+    emb = e1 * out[:, 0:1] + e2 * out[:, 1:2]
+    np.testing.assert_allclose(emb[:, 0], 2.0, atol=1e-9)
+    np.testing.assert_allclose(emb[:, 1], -3.0, atol=1e-9)
+
+
+def test_gradient_dual_is_weighted_transpose(sphere):
+    g = F.gradient_matrix(sphere, F.HAT_GRADIENT_AND_ROTATED_GRADIENT)
+    gd = F.gradient_dual_matrix(sphere, F.HAT_GRADIENT_AND_ROTATED_GRADIENT)
+    m = F.vector_field_mass_matrix(sphere)
+    np.testing.assert_allclose(gd.toarray(), (g.T @ m).toarray(), atol=1e-9)
