@@ -535,6 +535,11 @@ class FlowProblem:
                 s2_dense=jnp.asarray(d["s2"], dt),
                 p12_idx=jnp.asarray(d["p12_idx"], jnp.int32),
                 p12_wt=jnp.asarray(d["p12_wt"], dt))
+            if use_cache:
+                # Lets the Pallas solver serve its pattern packs from disk.
+                setattr(self.patch, "_artifact_key",
+                        key_of("mgpack", self._cache_key, int(cfg.vf_mode),
+                               int(cfg.connection_mode), cfg.divergence_free))
             self.vpatch = VertexPatchLevel(
                 m2_dense=jnp.asarray(d["vp_m2"], dt),
                 k2_dense=jnp.asarray(d["vp_k2"], dt),
@@ -780,23 +785,28 @@ class FlowProblem:
         overload, OpticalFlow.cpp:517-539): flow the texel table repeatedly
         by +-1/(frames-1), sampling the original textures each frame.
         Returns (2, frames, H, W, 3) in uv-space row order."""
+        from meshopticalflow_tpu.kernels.advect import advect_texture_frames_scan
+
         cfg = self.config
         src = self.texture_source
         h, w = src.height, src.width
         alpha = 1.0 / (frames - 1)
         outs = np.empty((2, frames, h, w, 3), np.float64)
         for s in range(2):
-            base = np.flipud(np.asarray(self.textures[s], np.float64))
-            outs[s, 0] = base
+            base_img = np.flipud(np.asarray(self.textures[s], np.float64))
+            outs[s, 0] = base_img
             length = -alpha if s == 0 else alpha
-            t, p = self.src_t, self.src_p
-            for f in range(1, frames):
-                colors, t, p = _advect_texture_step_jit(
-                    self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
-                    t, p, jnp.asarray(length, self.dtype),
-                    cfg.flow_min_step * frames, cfg.flow_max_steps,
-                    not cfg.nearest)
-                outs[s, f] = np.asarray(colors).reshape(h, w, 3)
+            # ONE jitted lax.scan over the frames (SURVEY section 5; the
+            # reference host-loops, OpticalFlow.cpp:517-539).
+            colors = advect_texture_frames_scan(
+                self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
+                self.src_t, self.src_p, jnp.asarray(length, self.dtype),
+                frames, cfg.flow_min_step, cfg.flow_max_steps,
+                not cfg.nearest)
+            base_flat = jnp.flipud(self.textures[s]).reshape(-1, 3)
+            colors = jnp.where((self.src_t >= 0)[None, :, None], colors,
+                               base_flat[None])
+            outs[s, 1:] = np.asarray(colors).reshape(frames - 1, h, w, 3)
         return outs
 
     def save_checkpoint(self, path: str, level: int, s_weight: float,

@@ -257,3 +257,40 @@ def advect_texture_compacted(tm, vfield, tri_uvs, texture, src_t, src_p,
         tm, vfield, times, src_t, src_p, min_step, max_steps)
     colors = _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear)
     return colors, t1, p1, exhausted
+
+
+@_ft.partial(jax.jit, static_argnames=("frames", "min_step", "max_steps",
+                                       "bilinear"))
+def advect_texture_frames_scan(tm, vfield, tri_uvs, texture, src_t, src_p,
+                               alpha, frames: int, min_step: float = 1e-2,
+                               max_steps: int = 4096, bilinear: bool = True):
+    """N-frame texture interpolation as ONE jitted lax.scan over frames
+    (SURVEY.md section 5 long-context row; the reference loops on the host,
+    OpticalFlow.cpp:517-539). Each step flows the texel table by ``alpha``
+    and samples the ORIGINAL texture at the advected position. Returns
+    colors (frames-1, N, 3) for frames 1..frames-1."""
+    n = src_t.shape[0]
+
+    def step(carry, _):
+        t, p = carry
+        t1, p1 = _fft(tm, vfield, jnp.broadcast_to(alpha, (n,)), t, p,
+                      min_step * frames, max_steps)
+        colors = _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear)
+        return (t1, p1), colors
+
+    (_, _), colors = jax.lax.scan(step, (src_t, src_p), None, length=frames - 1)
+    return colors
+
+
+def flow_field_trace_pairs(tm, vfields, flow_times, t0, p0, min_step,
+                           max_steps: int = 4096):
+    """vmap over FRAME PAIRS: trace the same lanes through a batch of flow
+    fields (the data-parallel multi-pair tracking analog, BASELINE config 5).
+
+    vfields: (P, T, 2); flow_times: (P,) or scalar; t0/p0 shared lanes.
+    Returns (t1 (P, N), p1 (P, N, 2))."""
+    flow_times = jnp.broadcast_to(jnp.asarray(flow_times, p0.dtype),
+                                  (vfields.shape[0],))
+    fn = jax.vmap(
+        lambda vf, ft: _fft(tm, vf, ft, t0, p0, min_step, max_steps))
+    return fn(vfields, flow_times)

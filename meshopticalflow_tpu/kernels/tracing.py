@@ -341,6 +341,195 @@ def whitney_flow_trace(
     return final_t.astype(jnp.int32), final_p
 
 
+def gradient_flow_trace(
+    tm: TraceMesh,
+    f: jnp.ndarray,             # (V,) per-vertex potential
+    t_idx: jnp.ndarray,         # (N,) int32 starting triangles
+    p: jnp.ndarray,             # (N, 2) starting points
+    min_step: float,
+    target_vertex=-1,           # scalar or (N,) vertex index terminating lanes
+    max_steps: int = 4096,
+    eps: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched FEM::RiemannianMesh::gradientFlow (FEM.inl:1102-1202):
+    descend along -grad f, re-reading the gradient every ``min_step`` of
+    arc length, stopping on direction reversal, boundary, or on entering a
+    triangle containing ``target_vertex``. Returns (t, p, total_time)."""
+    dtype = p.dtype
+    n = p.shape[0]
+    direction = jnp.asarray(-1.0, dtype)
+    target = jnp.broadcast_to(jnp.asarray(target_vertex, jnp.int32), (n,))
+
+    def grad_at(t):
+        d = jnp.stack([f[tm.triangles[t, 1]] - f[tm.triangles[t, 0]],
+                       f[tm.triangles[t, 2]] - f[tm.triangles[t, 0]]], -1)
+        return jnp.einsum("nab,nb->na", tm.g_inv[t], d)
+
+    valid = t_idx >= 0
+    t_safe = jnp.maximum(t_idx, 0)
+    v0 = grad_at(t_safe) * direction
+    state = dict(
+        t=t_safe, p=p, v=v0,
+        total=jnp.zeros(n, dtype) + p[:, 0] * 0,
+        step_left=jnp.full(n, jnp.asarray(min_step, dtype)) + p[:, 0] * 0,
+        in_edge=jnp.full(n, -1, jnp.int32) + t_safe * 0,
+        active=valid & (jnp.sum(v0 * v0, -1) > 0),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["count"] < max_steps) & jnp.any(s["active"])
+
+    def body(s):
+        t, pp, v = s["t"], s["p"], s["v"]
+        active = s["active"] & (jnp.sum(v * v, -1) > 0)
+        step, idx = _edge_exit(pp, v, s["in_edge"], eps)
+        active &= idx >= 0
+
+        g_t = tm.g[t]
+        vgv = _metric_dot(g_t, v, v)
+        sq_step = vgv * step * step
+        update_vector = (min_step > 0) & (sq_step > s["step_left"] * s["step_left"])
+        safe_vgv = jnp.where(vgv > 0, vgv, 1.0)
+        step = jnp.where(update_vector, s["step_left"] / jnp.sqrt(safe_vgv), step)
+
+        new_p = pp + v * step[:, None]
+        new_total = s["total"] + jnp.where(active, step, 0.0)
+
+        vf_here = grad_at(t)
+        reversal = _metric_dot(g_t, v, vf_here) * direction < 0
+        resample = active & update_vector
+        new_v = jnp.where(resample[:, None], vf_here * direction, v)
+        new_step_left = jnp.where(resample, min_step, s["step_left"])
+        new_in_edge = jnp.where(resample, -1, s["in_edge"])
+
+        cross = active & ~update_vector
+        e = t * 3 + jnp.maximum(idx, 0)
+        opp_e = tm.opp[e]
+        hit_boundary = cross & (opp_e < 0)
+        lin, const = tm.xform_linear[e], tm.xform_const[e]
+        do_cross = cross & (opp_e >= 0)
+        new_t = jnp.where(do_cross, opp_e // 3, t)
+        new_p = jnp.where(do_cross[:, None],
+                          jnp.einsum("nab,nb->na", lin, new_p) + const, new_p)
+        new_v = jnp.where(do_cross[:, None],
+                          jnp.einsum("nab,nb->na", lin, new_v), new_v)
+        new_in_edge = jnp.where(do_cross, opp_e % 3, new_in_edge)
+        new_step_left = jnp.where(do_cross,
+                                  new_step_left - jnp.sqrt(jnp.maximum(sq_step, 0)),
+                                  new_step_left)
+        # Reaching a triangle containing the target vertex terminates
+        # (FEM.inl:1187).
+        hit_target = do_cross & jnp.any(
+            tm.triangles[new_t] == target[:, None], axis=1)
+
+        still = active & ~hit_boundary & ~(resample & reversal) & ~hit_target
+        keep = s["active"]
+        return dict(
+            t=jnp.where(keep, new_t, s["t"]),
+            p=jnp.where(keep[:, None], new_p, s["p"]),
+            v=jnp.where(keep[:, None], new_v, s["v"]),
+            total=jnp.where(keep, new_total, s["total"]),
+            step_left=jnp.where(keep, new_step_left, s["step_left"]),
+            in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
+            active=still,
+            count=s["count"] + 1,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    out = lax.optimization_barrier(out)
+    final_t = jnp.where(valid, out["t"], t_idx)
+    final_p = jnp.where(valid[:, None], out["p"], p)
+    return final_t.astype(jnp.int32), final_p, out["total"]
+
+
+def flow_field_trace_distance(
+    tm: TraceMesh,
+    vfield: jnp.ndarray,
+    flow_time,
+    t_idx: jnp.ndarray,
+    p: jnp.ndarray,
+    max_steps: int = 4096,
+    eps: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched distance-accumulating flow overload (FEM.inl:1204-1278):
+    advects by flow TIME with the field re-read only at crossings, stopping
+    when the transported vector opposes the next triangle's field, and
+    accumulating metric arc length. Returns (t, p, distance)."""
+    dtype = p.dtype
+    n = p.shape[0]
+    flow_time = jnp.broadcast_to(jnp.asarray(flow_time, dtype), (n,))
+    direction = jnp.where(flow_time < 0, -1.0, 1.0).astype(dtype)
+    ft0 = jnp.abs(flow_time)
+
+    valid = t_idx >= 0
+    t_safe = jnp.maximum(t_idx, 0)
+    state = dict(
+        t=t_safe, p=p,
+        v=vfield[t_safe] * direction[:, None],
+        ft=ft0 + p[:, 0] * 0,
+        dist=jnp.zeros(n, dtype) + p[:, 0] * 0,
+        in_edge=jnp.full(n, -1, jnp.int32) + t_safe * 0,
+        active=valid,
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["count"] < max_steps) & jnp.any(s["active"])
+
+    def body(s):
+        t, pp, v, ft = s["t"], s["p"], s["v"], s["ft"]
+        active = s["active"] & (jnp.sum(v * v, -1) > 0)
+        step, idx = _edge_exit(pp, v, s["in_edge"], eps)
+        active &= idx >= 0
+        g_t = tm.g[t]
+        v_len = jnp.sqrt(jnp.maximum(_metric_dot(g_t, v, v), 0.0))
+
+        finish = step > ft
+        e = t * 3 + jnp.maximum(idx, 0)
+        opp_e = tm.opp[e]
+        cross = active & ~finish
+        hit_boundary = cross & (opp_e < 0)
+        lin, const = tm.xform_linear[e], tm.xform_const[e]
+        nb = jnp.maximum(opp_e, 0) // 3
+        v_crossed = jnp.einsum("nab,nb->na", lin, v)
+        # Reversal checks BEFORE stepping to the edge (FEM.inl:1264-1266):
+        # the lane stops at its current point, not the edge.
+        reversal = cross & (opp_e >= 0) & (
+            _metric_dot(tm.g[nb], v_crossed, vfield[nb]) * direction < 0)
+        do_cross = cross & (opp_e >= 0) & ~reversal
+        adv = jnp.where(finish, ft, jnp.where(do_cross, step, 0.0))
+        adv = jnp.where(active, adv, 0.0)
+        new_p = pp + v * adv[:, None]
+        new_ft = ft - adv
+        new_dist = s["dist"] + v_len * adv
+        new_t = jnp.where(do_cross, nb, t)
+        new_p2 = jnp.where(do_cross[:, None],
+                           jnp.einsum("nab,nb->na", lin, new_p) + const, new_p)
+        new_v = jnp.where(do_cross[:, None],
+                          vfield[new_t] * direction[:, None], v)
+        new_in_edge = jnp.where(do_cross, opp_e % 3, s["in_edge"])
+
+        still = active & ~finish & ~hit_boundary & ~reversal
+        keep = s["active"]
+        return dict(
+            t=jnp.where(keep, new_t, s["t"]),
+            p=jnp.where(keep[:, None], new_p2, s["p"]),
+            v=jnp.where(keep[:, None], new_v, s["v"]),
+            ft=jnp.where(keep, new_ft, s["ft"]),
+            dist=jnp.where(keep, new_dist, s["dist"]),
+            in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
+            active=still,
+            count=s["count"] + 1,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    out = lax.optimization_barrier(out)
+    final_t = jnp.where(valid, out["t"], t_idx)
+    final_p = jnp.where(valid[:, None], out["p"], p)
+    return final_t.astype(jnp.int32), final_p, out["dist"]
+
+
 def exp_map(
     tm: TraceMesh,
     t_idx: jnp.ndarray,   # (N,) int32

@@ -292,7 +292,8 @@ def update_optical_flow(
                                      coarse.p0,
                                      np.asarray(patch.p12_idx),
                                      np.asarray(patch.p12_wt),
-                                     int(a2.shape[0]))
+                                     int(a2.shape[0]),
+                                     cache_key=getattr(patch, "_artifact_key", ""))
                 setattr(patch, "_pallas_pack", pack)
             c_diag = jnp.take_along_axis(
                 c_vals, coarse.coarse_dev.diag_slot[:, None], axis=1)[:, 0]

@@ -92,11 +92,10 @@ class MGPack:
         return self.c1_pat.nr
 
 
-def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
-                  p0_csr: sp.spmatrix, p12_idx: np.ndarray,
-                  p12_wt: np.ndarray, n2: int,
-                  interpret: bool = False) -> MGPack:
-    """Pack the static patterns (host, once per problem)."""
+def _build_mg_pack_host(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
+                        p0_csr: sp.spmatrix, p12_idx: np.ndarray,
+                        p12_wt: np.ndarray) -> dict:
+    """Host-side pattern packing (the cacheable part, ~1 min at N=325k)."""
     from meshopticalflow_tpu.ops.bsr import rcm_permutation
 
     n_f, w_f = fine_ell_cols.shape
@@ -113,7 +112,6 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     p0_c = sp.csr_matrix(p0_csr)
     pt = p0_c.T.tocsr()
     nnz1 = np.diff(pt.indptr)
-    score = np.zeros(n1)
     sums = np.add.reduceat(
         inv_fp[pt.indices].astype(np.float64),
         np.minimum(pt.indptr[:-1], max(pt.nnz - 1, 0)))
@@ -122,38 +120,72 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
 
     fine_pat = pack_pattern(np.asarray(fine_ell_cols), fine_perm)
     c1_pat = pack_pattern(np.asarray(c1_ell_cols), c1_perm)
-
-    # Transfers with static values, packed rectangular.
-    p0_csr = sp.csr_matrix(p0_csr)
-    p0_cols, p0_vals = _csr_to_padded_ell(p0_csr)
+    p0_cols, p0_vals = _csr_to_padded_ell(p0_c)
     p0_pat = pack_pattern(p0_cols, fine_perm, col_perm=c1_perm, col_n=n1)
-    p0_op = PallasEll.from_ell_values(p0_pat, jnp.asarray(p0_pat.slots),
-                                      jnp.asarray(p0_vals, jnp.float32),
-                                      dtype=jnp.bfloat16, interpret=interpret)
-    p0t_cols, p0t_vals = _csr_to_padded_ell(p0_csr.T.tocsr())
+    p0t_cols, p0t_vals = _csr_to_padded_ell(p0_c.T.tocsr())
     p0t_pat = pack_pattern(p0t_cols, c1_perm, col_perm=fine_perm, col_n=n_f)
-    p0t_op = PallasEll.from_ell_values(p0t_pat, jnp.asarray(p0t_pat.slots),
-                                       jnp.asarray(p0t_vals, jnp.float32),
-                                       dtype=jnp.bfloat16, interpret=interpret)
 
+    def pat_dict(tag, pat):
+        return {f"{tag}_tile_cols": pat.tile_cols, f"{tag}_slots": pat.slots,
+                f"{tag}_row_perm": pat.row_perm, f"{tag}_col_perm": pat.col_perm,
+                f"{tag}_dims": np.asarray([pat.row_n, pat.col_n])}
+
+    out = {}
+    for tag, pat in (("fine", fine_pat), ("c1", c1_pat), ("p0", p0_pat),
+                     ("p0t", p0t_pat)):
+        out.update(pat_dict(tag, pat))
+    out.update(p0_vals=p0_vals, p0t_vals=p0t_vals,
+               p12_idx_p=np.asarray(p12_idx)[c1_perm],
+               p12_wt_p=np.asarray(p12_wt)[c1_perm])
+    return out
+
+
+def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
+                  p0_csr: sp.spmatrix, p12_idx: np.ndarray,
+                  p12_wt: np.ndarray, n2: int,
+                  interpret: bool = False,
+                  cache_key: str = "") -> MGPack:
+    """Pack the static patterns (host, cached on disk per problem) and
+    stand up the device-side transfer operators."""
+    from meshopticalflow_tpu.utils.artifacts import cached
+
+    d = cached("mgpack", cache_key,
+               lambda: _build_mg_pack_host(fine_ell_cols, c1_ell_cols, p0_csr,
+                                           p12_idx, p12_wt),
+               enabled=bool(cache_key))
+
+    def pat_from(tag):
+        dims = d[f"{tag}_dims"]
+        return BlockEllPattern(
+            tile_cols=np.asarray(d[f"{tag}_tile_cols"], np.int32),
+            slots=np.asarray(d[f"{tag}_slots"], np.int64),
+            row_perm=np.asarray(d[f"{tag}_row_perm"]),
+            col_perm=np.asarray(d[f"{tag}_col_perm"]),
+            row_n=int(dims[0]), col_n=int(dims[1]))
+
+    fine_pat, c1_pat = pat_from("fine"), pat_from("c1")
+    p0_pat, p0t_pat = pat_from("p0"), pat_from("p0t")
+    n_f, n1 = fine_pat.row_n, c1_pat.row_n
+    p0_op = PallasEll.from_ell_values(p0_pat, jnp.asarray(p0_pat.slots),
+                                      jnp.asarray(d["p0_vals"], jnp.float32),
+                                      dtype=jnp.bfloat16, interpret=interpret)
+    p0t_op = PallasEll.from_ell_values(p0t_pat, jnp.asarray(p0t_pat.slots),
+                                       jnp.asarray(d["p0t_vals"], jnp.float32),
+                                       dtype=jnp.bfloat16, interpret=interpret)
     inv_f = np.empty(n_f, np.int64)
-    inv_f[fine_perm] = np.arange(n_f)
+    inv_f[fine_pat.row_perm] = np.arange(n_f)
     inv_1 = np.empty(n1, np.int64)
-    inv_1[c1_perm] = np.arange(n1)
-    # Patch transfer rows reordered to c1 permuted positions: row r of the
-    # permuted layout is original row c1_perm[r].
-    p12_idx_p = np.asarray(p12_idx)[c1_perm]
-    p12_wt_p = np.asarray(p12_wt)[c1_perm]
+    inv_1[c1_pat.row_perm] = np.arange(n1)
     return MGPack(
         fine_pat=fine_pat, fine_slots=jnp.asarray(fine_pat.slots),
-        fine_perm=jnp.asarray(fine_perm, jnp.int32),
+        fine_perm=jnp.asarray(fine_pat.row_perm, jnp.int32),
         fine_inv_perm=jnp.asarray(inv_f, jnp.int32),
         c1_pat=c1_pat, c1_slots=jnp.asarray(c1_pat.slots),
-        c1_perm=jnp.asarray(c1_perm, jnp.int32),
+        c1_perm=jnp.asarray(c1_pat.row_perm, jnp.int32),
         c1_inv_perm=jnp.asarray(inv_1, jnp.int32),
         p0=p0_op, p0t=p0t_op,
-        p12_idx_p=jnp.asarray(p12_idx_p, jnp.int32),
-        p12_wt_p=jnp.asarray(p12_wt_p, jnp.float32),
+        p12_idx_p=jnp.asarray(d["p12_idx_p"], jnp.int32),
+        p12_wt_p=jnp.asarray(np.asarray(d["p12_wt_p"], np.float32)),
         n_fine=n_f, n1=n1, n2=n2, interpret=interpret)
 
 

