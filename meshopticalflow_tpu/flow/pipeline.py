@@ -116,8 +116,49 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
     return jnp.concatenate([sig[0], sig[1]], axis=1)
 
 
+def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
+    """Multi-rhs Pallas MG solver for the vertex smoothing system; pattern
+    pack cached on the vcoarse handle (+ artifact disk cache)."""
+    import scipy.sparse as sp
+
+    from meshopticalflow_tpu.flow.signal import _smooth_system
+    from meshopticalflow_tpu.solvers.pallas_mg import (PallasMG3MultiSolver,
+                                                       build_mg_pack)
+
+    pack = getattr(vcoarse, "_pallas_pack", None)
+    if pack is None:
+        idx = np.asarray(vcoarse.p0_idx)
+        wt = np.asarray(vcoarse.p0_wt, np.float64)
+        v_f, k0 = idx.shape
+        v_0 = int(np.asarray(vcoarse.cols0).shape[0])
+        p0 = sp.csr_matrix((wt.ravel(), (np.repeat(np.arange(v_f), k0),
+                                         idx.ravel())), shape=(v_f, v_0))
+        pack = build_mg_pack(np.asarray(arrays.smooth_ops.cols),
+                             np.asarray(vcoarse.cols0), p0,
+                             np.asarray(vpatch.p12_idx),
+                             np.asarray(vpatch.p12_wt),
+                             int(vpatch.m2_dense.shape[0]),
+                             cache_key=getattr(vcoarse, "_artifact_key", ""))
+        setattr(vcoarse, "_pallas_pack", pack)
+    sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
+    c_vals = vcoarse.m0_vals + s_weight * vcoarse.k0_vals
+    n1 = vcoarse.cols0.shape[0]
+    c_diag = jnp.take_along_axis(
+        c_vals, jnp.argmax(vcoarse.cols0 == jnp.arange(n1)[:, None],
+                           axis=1)[:, None], axis=1)[:, 0]
+    a2 = vpatch.m2_dense + s_weight * vpatch.k2_dense
+    return PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag, a2), b
+
+
 def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
                   vcoarse=None, vpatch=None):
+    backend = config.flow_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if vcoarse is not None and vpatch is not None and backend == "pallas":
+        solver, b = _vertex_pallas_solver(arrays, vcoarse, vpatch, s_weight)
+        return solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
+                            max_iters=min(config.cg_max_iters, 200))
     if vcoarse is not None:
         from meshopticalflow_tpu.flow.signal import _smooth_system
         sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
@@ -536,10 +577,12 @@ class FlowProblem:
                 p12_idx=jnp.asarray(d["p12_idx"], jnp.int32),
                 p12_wt=jnp.asarray(d["p12_wt"], dt))
             if use_cache:
-                # Lets the Pallas solver serve its pattern packs from disk.
+                # Lets the Pallas solvers serve their pattern packs from disk.
                 setattr(self.patch, "_artifact_key",
                         key_of("mgpack", self._cache_key, int(cfg.vf_mode),
                                int(cfg.connection_mode), cfg.divergence_free))
+                setattr(self.vcoarse, "_artifact_key",
+                        key_of("vmgpack", self._cache_key))
             self.vpatch = VertexPatchLevel(
                 m2_dense=jnp.asarray(d["vp_m2"], dt),
                 k2_dense=jnp.asarray(d["vp_k2"], dt),
@@ -660,13 +703,26 @@ class FlowProblem:
     # -- outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056) ---
 
     def run(self, verbose: bool = False, checkpoint_dir: Optional[str] = None,
-            resume: bool = True, debug_dir: Optional[str] = None) -> FlowResult:
+            resume: bool = True, debug_dir: Optional[str] = None,
+            profile_dir: Optional[str] = None) -> FlowResult:
         """Coarse-to-fine optimization; optionally checkpoints each level to
         ``checkpoint_dir`` and resumes from the latest checkpoint there.
 
         ``debug_dir`` writes the per-level advected signals as colored PLYs
         ``resampled.{S,T}.<level>.ply`` — the reference's --debug dumps
-        (OpticalFlow.cpp:458-465)."""
+        (OpticalFlow.cpp:458-465). ``profile_dir`` captures a jax.profiler
+        trace of the level loop (open with TensorBoard / xprof)."""
+        import contextlib
+        import glob
+        import os
+        import sys
+
+        profile_cm = jax.profiler.trace(profile_dir) if profile_dir \
+            else contextlib.nullcontext()
+        with profile_cm:
+            return self._run_levels(verbose, checkpoint_dir, resume, debug_dir)
+
+    def _run_levels(self, verbose, checkpoint_dir, resume, debug_dir) -> FlowResult:
         import glob
         import os
         import sys
@@ -765,6 +821,7 @@ class FlowProblem:
         cfg = self.config
         src = self.texture_source
         h, w = src.height, src.width
+        _t0 = time.time()
         outs = []
         for s in range(2):
             length = -alpha if s == 0 else 1.0 - alpha
@@ -778,7 +835,13 @@ class FlowProblem:
             base = jnp.flipud(self.textures[s]).reshape(-1, 3)
             out = jnp.where((self.src_t >= 0)[:, None], colors, base)
             outs.append(out.reshape(h, w, 3))
-        return np.stack([np.asarray(o) for o in outs])
+        result = np.stack([np.asarray(o) for o in outs])
+        secs = time.time() - _t0
+        # Observability: the project's headline metric, measured in-pipeline.
+        self.last_advect_stats = {
+            "seconds": round(secs, 2),
+            "texels_per_sec": round(2 * h * w / max(secs, 1e-9), 1)}
+        return result
 
     def advected_texture_frames(self, frames: int) -> np.ndarray:
         """N-frame texture interpolation (InputTextureData::flow frames

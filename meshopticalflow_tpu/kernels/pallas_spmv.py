@@ -227,8 +227,8 @@ def _spmv_multi_kernel(tc_ref, x_ref, vals_ref, o_ref, *, k: int):
     o_ref[0] = acc
 
 
-@jax.jit
-def spmv_tiles_multi(tile_cols, x_tiles, vals_t):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmv_tiles_multi(tile_cols, x_tiles, vals_t, interpret: bool = False):
     """Multi-rhs matvec: x_tiles (col_nr, 8, 128) -> (nr, 8, 128).
 
     Channel c of rhs vector x lives at x_tiles[:, c, :] in the row-permuted
@@ -249,6 +249,7 @@ def spmv_tiles_multi(tile_cols, x_tiles, vals_t):
         functools.partial(_spmv_multi_kernel, k=k),
         out_shape=jax.ShapeDtypeStruct((nr, 8, 128), jnp.float32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(tile_cols.reshape(-1), x_tiles, vals_t)
 
 

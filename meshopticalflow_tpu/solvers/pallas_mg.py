@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from meshopticalflow_tpu.kernels.pallas_spmv import (
-    BlockEllPattern, PallasEll, pack_pattern, spmv_tiles, to_tiles, from_tiles)
+    BlockEllPattern, PallasEll, from_tiles, from_tiles_multi, pack_pattern,
+    spmv_tiles, spmv_tiles_multi, to_tiles, to_tiles_multi)
 from meshopticalflow_tpu.solvers.cg import CGStats
 
 
@@ -335,3 +336,162 @@ class PallasMG3Solver:
         x_out = from_tiles(x, pack.fine_inv_perm, pack.n_fine).astype(b.dtype)
         return x_out, CGStats(jnp.asarray(done, jnp.int32),
                               jnp.asarray(rel, b.dtype))
+
+
+# ----------------------------------------------------------------------------
+# Multi-rhs variant (the scalar smoothing solves: (M + wK) x = M s, C <= 8)
+# ----------------------------------------------------------------------------
+
+def _apply_multi(op: PallasEll, x_tiles):
+    return spmv_tiles_multi(op.tile_cols, x_tiles, op.vals_t,
+                            interpret=op.interpret)
+
+
+def _jac_m(op, inv_diag_t, r_t, z_t, omega, nu):
+    for _ in range(nu):
+        z_t = z_t + omega * inv_diag_t * (r_t - _apply_multi(op, z_t))
+    return z_t
+
+
+def _dots_m(u, v):
+    """Per-channel dots over (nr, 8, 128) tiles -> (8,)."""
+    return jnp.einsum("ncl,ncl->c", u, v)
+
+
+def _cycle_m(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t,
+             omega, nu: int):
+    z = _jac_m(fine_bf, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
+    res = r_t - _apply_multi(fine_bf, z)
+    r1 = _apply_multi(pack.p0t, res)
+    z1 = _jac_m(c1_bf, c1_invd, r1, omega * c1_invd * r1, omega, nu - 1)
+    res1 = r1 - _apply_multi(c1_bf, z1)
+    res1_flat = res1.transpose(0, 2, 1).reshape(-1, 8)[: pack.n1]   # (n1, 8)
+    r2 = jax.ops.segment_sum(
+        (pack.p12_wt_p[:, :, None] * res1_flat[:, None, :]).reshape(-1, 8),
+        jnp.repeat(pack.p12_idx_p.ravel(), 1), num_segments=pack.n2)
+    e2 = jax.scipy.linalg.cho_solve((chol2, True), r2)
+    corr = jnp.einsum("nk,nkc->nc", pack.p12_wt_p, e2[pack.p12_idx_p])
+    nr1 = res1.shape[0]
+    corr_t = jnp.zeros((nr1 * 128, 8), corr.dtype).at[: pack.n1].set(corr) \
+        .reshape(nr1, 128, 8).transpose(0, 2, 1)
+    z1 = z1 + corr_t
+    z1 = _jac_m(c1_bf, c1_invd, r1, z1, omega, nu)
+    z = z + _apply_multi(pack.p0, z1)
+    return _jac_m(fine_bf, f_invd, r_t, z, omega, nu)
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
+def _pcg_chunk_multi(fine_f32_tc, fine_f32_vals, fine_bf_tc, fine_bf_vals,
+                     f_invd, c1_bf_tc, c1_bf_vals, c1_invd, chol2,
+                     p0_tc, p0_vals, p0t_tc, p0t_vals,
+                     p12_idx_p, p12_wt_p,
+                     x, r, p, rz, omega, nu: int, iters: int, pack_id):
+    pack = _PACKS[pack_id]
+    fine_bf = PallasEll(pack.fine_pat, fine_bf_tc, fine_bf_vals,
+                        interpret=pack.interpret)
+    fine_f32 = PallasEll(pack.fine_pat, fine_f32_tc, fine_f32_vals,
+                         interpret=pack.interpret)
+    c1_bf = PallasEll(pack.c1_pat, c1_bf_tc, c1_bf_vals,
+                      interpret=pack.interpret)
+    pack = dataclasses.replace(
+        pack, p0=PallasEll(pack.p0.pattern, p0_tc, p0_vals,
+                           interpret=pack.interpret),
+        p0t=PallasEll(pack.p0t.pattern, p0t_tc, p0t_vals,
+                      interpret=pack.interpret),
+        p12_idx_p=p12_idx_p, p12_wt_p=p12_wt_p)
+
+    def body(_, s):
+        x, r, p, rz_old = s
+        z = _cycle_m(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack, r,
+                     omega, nu)
+        rz = _dots_m(r, z)
+        beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
+        p = z + beta[None, :, None] * p
+        ap = _apply_multi(fine_f32, p)
+        pap = _dots_m(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        a_ = alpha[None, :, None]
+        return (x + a_ * p, r - a_ * ap, p, rz)
+
+    x, r, p, rz = lax.fori_loop(0, iters, body, (x, r, p, rz))
+    r2 = jnp.max(_dots_m(r, r))
+    return x, r, p, rz, r2
+
+
+class PallasMG3MultiSolver:
+    """Multi-rhs (C <= 8) 3-level MG-PCG in tile space — the TPU solver for
+    the scalar smoothing systems (FlowData::smoothSignal's per-level
+    (M + wK) x = M s with 2C channel-stacked signals)."""
+
+    def __init__(self, pack: MGPack, fine_ell_vals, fine_diag,
+                 c1_ell_vals, c1_diag, a2_dense,
+                 omega: float = 0.7, nu: int = 2):
+        self.pack = pack
+        pid = id(pack)
+        _PACKS[pid] = pack
+        self.pack_id = pid
+        self.fine_f32 = PallasEll.from_ell_values(
+            pack.fine_pat, pack.fine_slots, fine_ell_vals, jnp.float32,
+            interpret=pack.interpret)
+        self.fine_bf = PallasEll(pack.fine_pat, self.fine_f32.tile_cols,
+                                 self.fine_f32.vals_t.astype(jnp.bfloat16),
+                                 interpret=pack.interpret)
+        self.c1_f32 = PallasEll.from_ell_values(
+            pack.c1_pat, pack.c1_slots, c1_ell_vals, jnp.float32,
+            interpret=pack.interpret)
+        self.c1_bf = PallasEll(pack.c1_pat, self.c1_f32.tile_cols,
+                               self.c1_f32.vals_t.astype(jnp.bfloat16),
+                               interpret=pack.interpret)
+        inv_f = jnp.where(fine_diag != 0, 1.0 / jnp.where(fine_diag != 0,
+                                                          fine_diag, 1.0), 0.0)
+        self.f_invd = to_tiles(inv_f.astype(jnp.float32), pack.fine_perm,
+                               pack.fine_nr)[:, None, :]
+        inv_1 = jnp.where(c1_diag != 0, 1.0 / jnp.where(c1_diag != 0,
+                                                        c1_diag, 1.0), 0.0)
+        self.c1_invd = to_tiles(inv_1.astype(jnp.float32), pack.c1_perm,
+                                pack.c1_nr)[:, None, :]
+        n2 = a2_dense.shape[0]
+        eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
+        self.chol2 = jnp.linalg.cholesky(
+            a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
+        self.omega = jnp.asarray(omega, jnp.float32)
+        self.nu = nu
+
+    def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-7,
+              max_iters: int = 200, chunk: int = 16):
+        pack = self.pack
+        c = b.shape[1]
+        b_t = to_tiles_multi(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
+        b_norm2 = float(jnp.max(_dots_m(b_t, b_t)))
+        if b_norm2 == 0:
+            return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                              jnp.asarray(0.0, b.dtype))
+        if x0 is None:
+            x = jnp.zeros_like(b_t)
+            r = b_t
+        else:
+            x = to_tiles_multi(x0.astype(jnp.float32), pack.fine_perm,
+                               pack.fine_nr)
+            r = b_t - _apply_multi(self.fine_f32, x)
+        p = jnp.zeros_like(b_t)
+        rz = jnp.zeros(8, jnp.float32)
+        threshold = (tol ** 2) * b_norm2
+        done = 0
+        r2 = b_norm2
+        while done < max_iters and r2 > threshold:
+            iters = min(chunk, max_iters - done)
+            x, r, p, rz, r2_dev = _pcg_chunk_multi(
+                self.fine_f32.tile_cols, self.fine_f32.vals_t,
+                self.fine_bf.tile_cols, self.fine_bf.vals_t,
+                self.f_invd, self.c1_bf.tile_cols, self.c1_bf.vals_t,
+                self.c1_invd, self.chol2,
+                pack.p0.tile_cols, pack.p0.vals_t,
+                pack.p0t.tile_cols, pack.p0t.vals_t,
+                pack.p12_idx_p, pack.p12_wt_p,
+                x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
+            r2 = float(r2_dev)
+            done += iters
+        rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
+        x_out = from_tiles_multi(x, pack.fine_inv_perm, pack.n_fine, c)
+        return x_out.astype(b.dtype), CGStats(jnp.asarray(done, jnp.int32),
+                                              jnp.asarray(rel, b.dtype))

@@ -148,3 +148,74 @@ def test_spmv_multi_rhs_matches_scipy(rng):
     )(op.tile_cols.reshape(-1), x_t, op.vals_t)
     y = from_tiles_multi(y_t, jnp.asarray(np.argsort(perm), jnp.int32), n, c)
     np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
+
+
+def test_pallas_mg3_multi_solver_smoothing(rng):
+    """PallasMG3MultiSolver (interpret) vs scipy on a real smoothing system
+    with 6 channel-stacked right-hand sides."""
+    import scipy.sparse.linalg as spla
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.flow.pipeline import (FlowProblem,
+                                                   _vertex_pallas_solver)
+    from meshopticalflow_tpu.flow.signal import _smooth_system
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_tracked
+    from tests.conftest import make_sphere_mesh
+
+    tris0, verts0 = make_sphere_mesh(2)
+    diag = float(np.linalg.norm(verts0.max(0) - verts0.min(0)))
+    uvs = np.zeros((len(tris0), 3, 2))
+    tris, verts, _, parent, bary = subdivide_tracked(tris0, verts0, uvs,
+                                                     0.3 * diag)
+    cfg = FlowConfig(dtype="float32", dog_weight=0.0, artifact_cache=False)
+    mesh = build_mesh(tris, vertices=verts)
+    sig = rng.uniform(0, 255, (2, mesh.n_vertices, 3))
+    prob = FlowProblem(cfg, mesh, sig, vertices=verts)
+    prob.attach_coarse_space(tris0, verts0, parent, bary)
+    assert prob.vcoarse is not None and prob.vpatch is not None
+
+    # interpret-mode pack
+    import meshopticalflow_tpu.solvers.pallas_mg as pm
+    w = jnp.asarray(3e-3, jnp.float32)
+    solver, b = _make_interp_solver(prob, w, pm)
+    x, stats = solver.solve(b, tol=1e-6, max_iters=200, chunk=8)
+
+    sys_vals, b2, diag_ = _smooth_system(prob.arrays.smooth_ops,
+                                         prob.arrays.signals, w)
+    cols = np.asarray(prob.arrays.smooth_ops.cols)
+    n, wd = cols.shape
+    a = sp.csr_matrix((np.asarray(sys_vals, np.float64).ravel(),
+                       (np.repeat(np.arange(n), wd), cols.ravel())),
+                      shape=(n, n))
+    lu = spla.splu(a.tocsc())
+    x_ref = lu.solve(np.asarray(b2, np.float64))
+    rel = np.linalg.norm(np.asarray(x, np.float64) - x_ref) / \
+        np.linalg.norm(x_ref)
+    assert rel < 1e-3, (rel, int(stats.iterations), float(stats.rel_residual))
+
+
+def _make_interp_solver(prob, w, pm):
+    """_vertex_pallas_solver with interpret-mode kernels (CPU tests)."""
+    import scipy.sparse as sp_
+    from meshopticalflow_tpu.flow.signal import _smooth_system
+
+    vcoarse, vpatch, arrays = prob.vcoarse, prob.vpatch, prob.arrays
+    idx = np.asarray(vcoarse.p0_idx)
+    wt = np.asarray(vcoarse.p0_wt, np.float64)
+    v_f, k0 = idx.shape
+    v_0 = int(np.asarray(vcoarse.cols0).shape[0])
+    p0 = sp_.csr_matrix((wt.ravel(), (np.repeat(np.arange(v_f), k0),
+                                      idx.ravel())), shape=(v_f, v_0))
+    pack = pm.build_mg_pack(np.asarray(arrays.smooth_ops.cols),
+                            np.asarray(vcoarse.cols0), p0,
+                            np.asarray(vpatch.p12_idx),
+                            np.asarray(vpatch.p12_wt),
+                            int(vpatch.m2_dense.shape[0]), interpret=True)
+    sys_vals, b, diag_ = _smooth_system(arrays.smooth_ops, arrays.signals, w)
+    c_vals = vcoarse.m0_vals + w * vcoarse.k0_vals
+    n1 = vcoarse.cols0.shape[0]
+    c_diag = jnp.take_along_axis(
+        c_vals, jnp.argmax(vcoarse.cols0 == jnp.arange(n1)[:, None],
+                           axis=1)[:, None], axis=1)[:, 0]
+    a2 = vpatch.m2_dense + w * vpatch.k2_dense
+    return pm.PallasMG3MultiSolver(pack, sys_vals, diag_, c_vals, c_diag, a2), b
