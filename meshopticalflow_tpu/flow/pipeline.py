@@ -85,11 +85,23 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
         stacked = jnp.concatenate([sig[0], sig[1]], axis=1)        # (V, 6)
         if vcoarse is not None:
             from meshopticalflow_tpu.flow.signal import _dog_renormalize, _smooth_system
-            sys_vals, b, diag = _smooth_system(smooth_ops, stacked,
-                                               config.dog_smooth)
-            c_vals = vcoarse.m0_vals + config.dog_smooth * vcoarse.k0_vals
-            if vpatch is not None:
+            backend = config.flow_backend
+            if backend == "auto":
+                backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            if vpatch is not None and backend == "pallas":
+                class _Arrays:
+                    pass
+                arr = _Arrays()
+                arr.smooth_ops = smooth_ops
+                arr.signals = stacked
+                solver, b = _vertex_pallas_solver(arr, vcoarse, vpatch,
+                                                  jnp.asarray(config.dog_smooth,
+                                                              stacked.dtype))
+            elif vpatch is not None:
                 from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
+                sys_vals, b, diag = _smooth_system(smooth_ops, stacked,
+                                                   config.dog_smooth)
+                c_vals = vcoarse.m0_vals + config.dog_smooth * vcoarse.k0_vals
                 a2 = vpatch.m2_dense + config.dog_smooth * vpatch.k2_dense
                 solver = ThreeLevelSolver(smooth_ops.cols, sys_vals, diag,
                                           vcoarse.cols0, c_vals, vcoarse.p0_idx,
@@ -97,6 +109,9 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
                                           vpatch.p12_wt)
             else:
                 from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+                sys_vals, b, diag = _smooth_system(smooth_ops, stacked,
+                                                   config.dog_smooth)
+                c_vals = vcoarse.m0_vals + config.dog_smooth * vcoarse.k0_vals
                 solver = TwoLevelSolver(smooth_ops.cols, sys_vals, diag,
                                         vcoarse.cols0, c_vals, vcoarse.p0_idx,
                                         vcoarse.p0_wt)
@@ -305,7 +320,11 @@ def _advect_texture_step_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src
 @jax.jit
 def _exp_remap_jit(tm: TraceMesh, t0, p):
     center = jnp.full_like(p, 1.0 / 3.0)
-    return exp_map(tm, t0, center, p - center)
+    # with_diagnostics also surfaces cap-exhausted lanes; measured healthy at
+    # ~1 s for the 2K atlas's 16.5k remap lanes (the prior diagnostics-free
+    # compiled program stalled the axon runtime for minutes — see
+    # PROGRESS.md quirks).
+    return exp_map(tm, t0, center, p - center, with_diagnostics=True)
 
 
 # ----------------------------------------------------------------------------
@@ -401,9 +420,14 @@ class FlowProblem:
         self.textures = None if textures is None else jnp.asarray(textures, dtype)
         self.tri_uvs = None if tri_uvs is None else jnp.asarray(tri_uvs, dtype)
         self.vertex_colors = None if vertex_colors is None else jnp.asarray(vertex_colors, dtype)
+        if self.textures is not None:
+            self.textures.block_until_ready()
+        _mark("texture_upload")
         if texture_source is not None:
             self.src_t = jnp.asarray(texture_source.tri_idx)
             self.src_p = jnp.asarray(texture_source.bary, dtype)
+            self.src_p.block_until_ready()
+            _mark("texel_table_upload")
             self._exp_remap_texels()
         _mark("exp_remap")
         self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
@@ -518,13 +542,13 @@ class FlowProblem:
                 ch_p_idx=cs.coarse_host.p_idx, ch_p_wt=cs.coarse_host.p_wt,
                 ch_smooth=cs.coarse_host.smooth,
                 cd_ell_cols=np.asarray(cs.coarse_dev.ell_cols),
-                cd_s_vals=np.asarray(cs.coarse_dev.s_vals, np.float64),
+                cd_s_vals=np.asarray(cs.coarse_dev.s_vals, np.float32),
                 cd_diag_slot=np.asarray(cs.coarse_dev.diag_slot),
                 cd_dt_slots=np.asarray(cs.coarse_dev.dt_slots),
                 p0=cs.p0, p0_idx=cs.p0_idx, p0_wt=cs.p0_wt,
                 vc_cols0=np.asarray(vc.cols0),
-                vc_m0=np.asarray(vc.m0_vals, np.float64),
-                vc_k0=np.asarray(vc.k0_vals, np.float64),
+                vc_m0=np.asarray(vc.m0_vals, np.float32),
+                vc_k0=np.asarray(vc.k0_vals, np.float32),
                 vc_p0_idx=np.asarray(vc.p0_idx), vc_p0_wt=np.asarray(vc.p0_wt, np.float64),
                 vc_m0_csr=vc.m0_csr, vc_k0_csr=vc.k0_csr,
                 has_patch=np.asarray(whitney))
@@ -532,14 +556,17 @@ class FlowProblem:
                 pl_, patch_ids = build_patch_level(cfg, coarse_mesh, cs)
                 vp = build_vertex_patch_level_from(cfg, vc.m0_csr, vc.k0_csr,
                                                    coarse_mesh, patch_ids)
+                # float32: every consumer casts to the device dtype anyway,
+                # and it halves the cached npz (the s2 dense block alone is
+                # 200 MB in f64).
                 out.update(
-                    q2_idx=np.asarray(pl_.q2_idx), q2_wt=np.asarray(pl_.q2_wt, np.float64),
-                    s2=np.asarray(pl_.s2_dense, np.float64),
-                    p12_idx=np.asarray(pl_.p12_idx), p12_wt=np.asarray(pl_.p12_wt, np.float64),
-                    vp_m2=np.asarray(vp.m2_dense, np.float64),
-                    vp_k2=np.asarray(vp.k2_dense, np.float64),
+                    q2_idx=np.asarray(pl_.q2_idx), q2_wt=np.asarray(pl_.q2_wt, np.float32),
+                    s2=np.asarray(pl_.s2_dense, np.float32),
+                    p12_idx=np.asarray(pl_.p12_idx), p12_wt=np.asarray(pl_.p12_wt, np.float32),
+                    vp_m2=np.asarray(vp.m2_dense, np.float32),
+                    vp_k2=np.asarray(vp.k2_dense, np.float32),
                     vp_p12_idx=np.asarray(vp.p12_idx),
-                    vp_p12_wt=np.asarray(vp.p12_wt, np.float64))
+                    vp_p12_wt=np.asarray(vp.p12_wt, np.float32))
             return out
 
         use_cache = bool(self._cache_key and cfg.artifact_cache)
@@ -690,8 +717,19 @@ class FlowProblem:
         if not mask.any():
             return
         idx = np.nonzero(mask)[0]
-        t1, p1 = _exp_remap_jit(self.arrays.tm, jnp.asarray(src.tri_idx[idx]),
-                                jnp.asarray(src.bary[idx], self.dtype))
+        _t = time.time()
+        t_in = jnp.asarray(src.tri_idx[idx])
+        p_in = jnp.asarray(src.bary[idx], self.dtype)
+        p_in.block_until_ready()
+        self.init_profile["exp_upload"] = round(time.time() - _t, 2)
+        _t = time.time()
+        t1, p1, exhausted = _exp_remap_jit(self.arrays.tm, t_in, p_in)
+        t1.block_until_ready()
+        self.init_profile["exp_dispatch"] = round(time.time() - _t, 2)
+        if int(exhausted):
+            import sys as _sys
+            print(f"[WARNING] exp remap: {int(exhausted)} texel lanes hit the "
+                  f"step cap", file=_sys.stderr)
         tri_idx = src.tri_idx.copy()
         bary = src.bary.copy()
         tri_idx[idx] = np.asarray(t1)

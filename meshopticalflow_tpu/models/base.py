@@ -322,16 +322,18 @@ def update_optical_flow(
                                     coarse.coarse_dev.ell_cols, c_vals,
                                     coarse.p0_idx_dev, coarse.p0_wt_dev)
         if refine:
-            # tol 3e-9: one f32 MG solve reaches ~1e-6, later rounds close
-            # the remaining gap at an adaptive (much looser) inner tolerance
-            # — enough for direct-solve-equivalent trajectories (validated
+            # tol 3e-9 overall; per-round inner tolerance is adaptive with a
+            # 3e-6 floor — each round then runs ~100 iterations and the
+            # geometric contraction of refinement (x1e-3+/round) still lands
+            # at 3e-9 in two or three rounds. Trajectory parity is protected
+            # by the OUTER f64 residuals, not the inner tolerance (validated
             # on the reference Example at RMSE 0.115 vs the rebuilt binary).
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,
                 lambda r, tol_inner: solver.solve(
                     r, tol=max(cg_tol, tol_inner),
-                    max_iters=min(cg_max_iters, 160)),
-                tol=3e-9)
+                    max_iters=min(cg_max_iters, 140)),
+                tol=3e-9, inner_floor=3e-6)
         else:
             x, stats = solver.solve(rhs, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))

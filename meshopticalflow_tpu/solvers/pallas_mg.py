@@ -301,7 +301,7 @@ class PallasMG3Solver:
         self.nu = nu
 
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-6,
-              max_iters: int = 200, chunk: int = 16):
+              max_iters: int = 200, chunk: int = 24):
         pack = self.pack
         b_t = to_tiles(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
         b_norm2 = float(jnp.vdot(b_t, b_t))

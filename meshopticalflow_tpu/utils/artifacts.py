@@ -20,7 +20,7 @@ import numpy as np
 import scipy.sparse as sp
 
 # Bump when cached array semantics change.
-_VERSION = "r2a"
+_VERSION = "r2b"
 
 
 def cache_dir() -> str:
