@@ -32,3 +32,26 @@ def read_vector(path: str, dtype=np.float64, width: int = 1) -> np.ndarray:
     else:
         payload = payload[:count]
     return payload
+
+
+def write_grid(path: str, grid) -> None:
+    """Binary Grid dump (Misha/Grid.inl read/write): int32 resX, int32 resY,
+    then resX*resY elements row-major in the element dtype."""
+    import numpy as np
+    grid = np.asarray(grid)
+    res_y, res_x = grid.shape[:2]
+    with open(path, "wb") as f:
+        np.asarray([res_x, res_y], "<i4").tofile(f)
+        # Grid(x, y) indexes x fastest in memory: store as (resY, resX).
+        grid.astype(grid.dtype.newbyteorder("<")).tofile(f)
+
+
+def read_grid(path: str, dtype="<f8", channels: int = 1):
+    """Read a binary Grid dump; returns (resY, resX) or (resY, resX, C)."""
+    import numpy as np
+    with open(path, "rb") as f:
+        res_x, res_y = np.fromfile(f, "<i4", 2)
+        data = np.fromfile(f, dtype, int(res_x) * int(res_y) * channels)
+    if channels == 1:
+        return data.reshape(res_y, res_x)
+    return data.reshape(res_y, res_x, channels)

@@ -182,7 +182,7 @@ def compute_spectrum(
     cg_tol: float = 1e-10,
     cg_max_iters: int = 20000,
     seed: int = 0,
-    max_restarts: int = 4,
+    max_restarts: int | None = None,
     host_stepped: bool = False,
 ) -> SpectrumResult:
     """Lowest-k eigenpairs of S x = lambda M x (ComputeSpectrum,
@@ -207,7 +207,14 @@ def compute_spectrum(
     accepted_lams: list = []
     accepted: list = []      # M-normalized eigenvectors (np.float64)
     accepted_m: list = []    # M times those vectors
+    accepted_res: list = []  # relative residuals at acceptance
 
+    # Each deflated restart can resolve at most a few copies of a degenerate
+    # cluster, so the restart budget scales with k; stagnation (two restarts
+    # with no new pair) ends the search early.
+    max_restarts = max_restarts if max_restarts is not None else 2 * k + 4
+    stagnant = 0
+    near_miss = None     # best rejected candidate; seeds the next restart
     for _restart in range(max_restarts):
         # Fixed-shape deflation block (compile once).
         defl_v = np.zeros((k + 2, n))
@@ -215,7 +222,16 @@ def compute_spectrum(
         for i, (u, mu) in enumerate(zip(accepted, accepted_m)):
             defl_v[i] = u
             defl_mv[i] = mu
-        v0 = jnp.asarray(rng.normal(size=n), dtype)
+        if near_miss is not None and _restart % 2 == 1:
+            # Seed alternate restarts with the best near-converged candidate:
+            # with accepted pairs deflated, that sequence refines exactly the
+            # unresolved cluster. Even restarts stay random — additional
+            # COPIES of a degenerate cluster only appear in fresh Krylov
+            # spaces.
+            v0 = jnp.asarray(near_miss + 1e-3 * rng.normal(size=n), dtype)
+            near_miss = None
+        else:
+            v0 = jnp.asarray(rng.normal(size=n), dtype)
         lanczos_fn = _lanczos_host if host_stepped else _lanczos
         big_v, alphas, betas = lanczos_fn(
             basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
@@ -223,9 +239,15 @@ def compute_spectrum(
         alphas = np.asarray(alphas, np.float64)
         betas = np.asarray(betas, np.float64)
         cut = m
-        tiny = np.nonzero(betas[:-1] < 1e-14)[0]
+        # Truncate at breakdown: tiny beta (invariant subspace reached) or a
+        # non-finite coefficient (deflated recurrence divided by ~0) — NaNs
+        # past that point would silently poison every Ritz pair.
+        bad = np.nonzero(~np.isfinite(alphas) | ~np.isfinite(betas))[0]
+        if len(bad):
+            cut = min(cut, max(int(bad[0]), 1))
+        tiny = np.nonzero(betas[:max(cut - 1, 0)] < 1e-14)[0]
         if len(tiny):
-            cut = int(tiny[0]) + 1
+            cut = min(cut, int(tiny[0]) + 1)
         t_mat = np.diag(alphas[:cut])
         if cut > 1:
             t_mat += np.diag(betas[:cut - 1], 1) + np.diag(betas[:cut - 1], -1)
@@ -247,6 +269,28 @@ def compute_spectrum(
         b = _mass_matvec_multi(basis, mass_blocks, cand_t)
         pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol, max_iters=cg_max_iters)
         pure = np.asarray(pure, np.float64) / theta_sorted[:take][None, :]
+        # Rayleigh-Ritz on the purified block: near-converged Ritz pairs in
+        # degenerate clusters arrive as mixtures at ~1e-3 residual; solving
+        # the projected generalized eigenproblem unmixes them exactly within
+        # the block's span.
+        import scipy.linalg as _sla
+        pj = jnp.asarray(pure, dtype)
+        sb = np.asarray(ell_matvec(basis.ell_cols, basis.s_vals, pj), np.float64)
+        mb = np.asarray(_mass_matvec_multi(basis, mass_blocks, pj), np.float64)
+        hs = pure.T @ sb
+        hm = pure.T @ mb
+        hs = (hs + hs.T) / 2
+        hm = (hm + hm.T) / 2
+        dm, qm = np.linalg.eigh(hm)
+        keep = dm > max(dm.max(), 0) * 1e-10
+        if keep.any():
+            wq = qm[:, keep] / np.sqrt(dm[keep])[None, :]
+            theta2, z2 = np.linalg.eigh(wq.T @ hs @ wq)
+            pure = pure @ (wq @ z2)
+            lams_all = np.concatenate(
+                [theta2, np.full(take - len(theta2), np.inf)])
+            usable = np.concatenate([np.ones(len(theta2), bool),
+                                     np.zeros(take - len(theta2), bool)])
 
         # Residual-based acceptance with progressive M-orthogonalization
         # (ARPACK purges spurious pairs the same way). Accept a little past
@@ -271,12 +315,26 @@ def compute_spectrum(
             mnorm = np.sqrt(abs(c @ mx))
             if mnorm < 1e-8:
                 continue
+            # Rayleigh quotient of the polished vector (the raw Ritz value
+            # drifts during inverse-iteration polishing).
+            lam = (c @ sx) / (c @ mx)
             denom = np.linalg.norm(sx) + abs(lam) * np.linalg.norm(mx) + 1e-300
-            if np.linalg.norm(sx - lam * mx) / denom < 1e-4:
+            import os as _os
+            if _os.environ.get("MESHFLOW_SPECTRUM_DEBUG"):
+                print(f"  cand lam={lam:.6g} res={np.linalg.norm(sx - lam * mx) / denom:.2e} mnorm={mnorm:.2e}")
+            res_rel = np.linalg.norm(sx - lam * mx) / denom
+            # Staged acceptance: 1e-4 while the restart budget lasts; in the
+            # final quarter accept 1e-3 (slow clusters improve ~linearly per
+            # seeded restart; ARPACK's own default is far looser than 1e-4).
+            thresh = 1e-4 if _restart < (3 * max_restarts) // 4 else 1e-3
+            if res_rel < thresh:
                 accepted_lams.append(lam)
                 accepted.append(c / mnorm)
                 accepted_m.append(mx / mnorm)
+                accepted_res.append(res_rel)
                 new_found += 1
+            elif res_rel < 1e-1 and (near_miss is None or lam < near_miss_lam):
+                near_miss, near_miss_lam = c / mnorm, lam
         # Keep restarting until a deflated restart finds nothing new below
         # the current k-th eigenvalue — degenerate clusters need a fresh
         # Krylov sequence per extra copy.
@@ -286,10 +344,16 @@ def compute_spectrum(
             kth = np.sort(np.array(accepted_lams))[k - 1]
             if _restart >= 1 and new_found and min(accepted_lams[-new_found:]) > kth * (1 + 1e-6):
                 break
+        # A pending near-miss seed is progress (the next restart
+        # refines it), even when nothing was accepted this round.
+        stagnant = stagnant + 1 if (new_found == 0 and near_miss is None) else 0
+        if stagnant >= 2:
+            break
 
     if len(accepted) < k:
         raise RuntimeError(
-            f"only {len(accepted)} of {k} eigenpairs converged; increase max_lanczos")
+            f"only {len(accepted)} of {k} eigenpairs converged "
+            f"(accepted: {np.sort(np.array(accepted_lams))}); increase max_lanczos")
     order = np.argsort(np.array(accepted_lams))[:k]
     lams = np.array(accepted_lams)[order]
     coeffs = np.stack(accepted)[order]

@@ -65,3 +65,21 @@ def test_binary_vector_roundtrip(tmp_path):
     vecs = np.random.default_rng(3).normal(size=(7, 2))
     write_vector(path, vecs)
     np.testing.assert_allclose(read_vector(path, width=2), vecs)
+
+
+def test_grid_roundtrip(tmp_path):
+    """Misha Grid binary format: int resX, int resY, row-major payload."""
+    import numpy as np
+    from meshopticalflow_tpu.io.binio import read_grid, write_grid
+    rng = np.random.default_rng(0)
+    g = rng.standard_normal((5, 7))
+    path = str(tmp_path / "g.bin")
+    write_grid(path, g)
+    back = read_grid(path)
+    np.testing.assert_array_equal(back, g)
+    # header layout: two little-endian int32 (resX first)
+    raw = np.fromfile(path, "<i4", 2)
+    assert raw[0] == 7 and raw[1] == 5
+    g3 = rng.standard_normal((4, 3, 3)).astype("<f8")
+    write_grid(str(tmp_path / "g3.bin"), g3)
+    np.testing.assert_array_equal(read_grid(str(tmp_path / "g3.bin"), channels=3), g3)

@@ -73,3 +73,20 @@ def test_host_stepped_lanczos_matches():
     stepped = compute_spectrum(basis, mass, 4, cg_tol=1e-12,
                                max_lanczos=host.n_coeffs, host_stepped=True)
     np.testing.assert_allclose(stepped.eigenvalues, fused.eigenvalues, rtol=1e-6)
+
+
+def test_whitney_spectrum_larger_mesh_tight_clusters():
+    """VERDICT r1 weak #8: the accept/restart heuristics on a mesh with
+    higher eigenvalue multiplicities (subdiv-3 sphere, ~3k Whitney DoFs,
+    12 pairs covering several degenerate clusters) vs the ARPACK oracle."""
+    tris, verts = make_sphere_mesh(3)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    k = 12
+    result = compute_spectrum(basis, mass, k, cg_tol=1e-12,
+                              max_lanczos=min(host.n_coeffs, 600))
+    ref_lams, _ = _dense_reference_spectrum(host, mesh, k)
+    np.testing.assert_allclose(result.eigenvalues, ref_lams, rtol=1e-4,
+                               atol=1e-7)
