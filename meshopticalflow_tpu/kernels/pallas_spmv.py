@@ -216,6 +216,16 @@ def _revalue(slots, ell_vals, nr: int, k: int, dtype):
     return flat.reshape(nr, k, 128, 128).astype(dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("nr", "k"))
+def _revalue_pair(slots, ell_vals, nr: int, k: int):
+    """One scatter producing both the f32 and bf16 tile arrays (fusing the
+    cast saves a full extra pass over the tiles per level)."""
+    flat = jnp.zeros((nr * k * 128 * 128,), jnp.float32)
+    flat = flat.at[slots].add(ell_vals.ravel().astype(jnp.float32))
+    v = flat.reshape(nr, k, 128, 128)
+    return v, v.astype(jnp.bfloat16)
+
+
 def _spmv_multi_kernel(tc_ref, x_ref, vals_ref, o_ref, *, k: int):
     """One block row, C<=8 right-hand sides: y(8,128) = sum_k xs(8,128) @ vals_t."""
     i = pl.program_id(0)

@@ -216,9 +216,14 @@ def compute_spectrum(
     stagnant = 0
     near_miss = None     # best rejected candidate; seeds the next restart
     for _restart in range(max_restarts):
-        # Fixed-shape deflation block (compile once).
-        defl_v = np.zeros((k + 2, n))
-        defl_mv = np.zeros((k + 2, n))
+        # Fixed-shape deflation block (compile once); grows in steps of 8
+        # when acceptance overshoots k (degenerate clusters straddling the
+        # cut can accept past k).
+        n_defl = k + 2
+        if len(accepted) + 2 > n_defl:
+            n_defl = k + 2 + 8 * (-(-(len(accepted) + 2 - (k + 2)) // 8))
+        defl_v = np.zeros((n_defl, n))
+        defl_mv = np.zeros((n_defl, n))
         for i, (u, mu) in enumerate(zip(accepted, accepted_m)):
             defl_v[i] = u
             defl_mv[i] = mu

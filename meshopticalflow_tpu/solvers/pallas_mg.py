@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from meshopticalflow_tpu.kernels.pallas_spmv import (
-    BlockEllPattern, PallasEll, from_tiles, from_tiles_multi, pack_pattern,
-    spmv_tiles, spmv_tiles_multi, to_tiles, to_tiles_multi)
+    BlockEllPattern, PallasEll, _revalue_pair, from_tiles, from_tiles_multi,
+    pack_pattern, spmv_tiles, spmv_tiles_multi, to_tiles, to_tiles_multi)
 from meshopticalflow_tpu.solvers.cg import CGStats
 
 
@@ -274,18 +274,19 @@ class PallasMG3Solver:
         _PACKS[pid] = pack
         self.pack_id = pid
         dtype = jnp.float32
-        self.fine_f32 = PallasEll.from_ell_values(
-            pack.fine_pat, pack.fine_slots, fine_ell_vals, jnp.float32,
-            interpret=pack.interpret)
-        # bf16 copy shares the scatter result via a cast of the f32 tiles.
-        self.fine_bf = PallasEll(pack.fine_pat, self.fine_f32.tile_cols,
-                                 self.fine_f32.vals_t.astype(jnp.bfloat16),
+        tc_f = jnp.asarray(pack.fine_pat.tile_cols)
+        vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
+                                  pack.fine_pat.nr, pack.fine_pat.k)
+        self.fine_f32 = PallasEll(pack.fine_pat, tc_f, vf32,
+                                  interpret=pack.interpret)
+        self.fine_bf = PallasEll(pack.fine_pat, tc_f, vbf,
                                  interpret=pack.interpret)
-        self.c1_f32 = PallasEll.from_ell_values(
-            pack.c1_pat, pack.c1_slots, c1_ell_vals, jnp.float32,
-            interpret=pack.interpret)
-        self.c1_bf = PallasEll(pack.c1_pat, self.c1_f32.tile_cols,
-                               self.c1_f32.vals_t.astype(jnp.bfloat16),
+        tc_1 = jnp.asarray(pack.c1_pat.tile_cols)
+        c32, cbf = _revalue_pair(pack.c1_slots, c1_ell_vals,
+                                 pack.c1_pat.nr, pack.c1_pat.k)
+        self.c1_f32 = PallasEll(pack.c1_pat, tc_1, c32,
+                                interpret=pack.interpret)
+        self.c1_bf = PallasEll(pack.c1_pat, tc_1, cbf,
                                interpret=pack.interpret)
         inv_f = jnp.where(fine_diag != 0, 1.0 / jnp.where(fine_diag != 0,
                                                           fine_diag, 1.0), 0.0)
@@ -430,17 +431,19 @@ class PallasMG3MultiSolver:
         pid = id(pack)
         _PACKS[pid] = pack
         self.pack_id = pid
-        self.fine_f32 = PallasEll.from_ell_values(
-            pack.fine_pat, pack.fine_slots, fine_ell_vals, jnp.float32,
-            interpret=pack.interpret)
-        self.fine_bf = PallasEll(pack.fine_pat, self.fine_f32.tile_cols,
-                                 self.fine_f32.vals_t.astype(jnp.bfloat16),
+        tc_f = jnp.asarray(pack.fine_pat.tile_cols)
+        vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
+                                  pack.fine_pat.nr, pack.fine_pat.k)
+        self.fine_f32 = PallasEll(pack.fine_pat, tc_f, vf32,
+                                  interpret=pack.interpret)
+        self.fine_bf = PallasEll(pack.fine_pat, tc_f, vbf,
                                  interpret=pack.interpret)
-        self.c1_f32 = PallasEll.from_ell_values(
-            pack.c1_pat, pack.c1_slots, c1_ell_vals, jnp.float32,
-            interpret=pack.interpret)
-        self.c1_bf = PallasEll(pack.c1_pat, self.c1_f32.tile_cols,
-                               self.c1_f32.vals_t.astype(jnp.bfloat16),
+        tc_1 = jnp.asarray(pack.c1_pat.tile_cols)
+        c32, cbf = _revalue_pair(pack.c1_slots, c1_ell_vals,
+                                 pack.c1_pat.nr, pack.c1_pat.k)
+        self.c1_f32 = PallasEll(pack.c1_pat, tc_1, c32,
+                                interpret=pack.interpret)
+        self.c1_bf = PallasEll(pack.c1_pat, tc_1, cbf,
                                interpret=pack.interpret)
         inv_f = jnp.where(fine_diag != 0, 1.0 / jnp.where(fine_diag != 0,
                                                           fine_diag, 1.0), 0.0)
