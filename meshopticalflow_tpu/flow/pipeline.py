@@ -726,17 +726,19 @@ class FlowProblem:
         t1, p1, exhausted = _exp_remap_jit(self.arrays.tm, t_in, p_in)
         t1.block_until_ready()
         self.init_profile["exp_dispatch"] = round(time.time() - _t, 2)
+        # Scatter the remapped texels on DEVICE — the sample table stays
+        # resident (the host texture_source keeps the pre-remap rasterizer
+        # output; all advection reads src_t/src_p).
+        _t = time.time()
+        idx_dev = jnp.asarray(idx, jnp.int32)
+        self.src_t = self.src_t.at[idx_dev].set(t1)
+        self.src_p = self.src_p.at[idx_dev].set(p1)
+        self.src_t.block_until_ready()
+        self.init_profile["exp_scatter"] = round(time.time() - _t, 2)
         if int(exhausted):
             import sys as _sys
             print(f"[WARNING] exp remap: {int(exhausted)} texel lanes hit the "
                   f"step cap", file=_sys.stderr)
-        tri_idx = src.tri_idx.copy()
-        bary = src.bary.copy()
-        tri_idx[idx] = np.asarray(t1)
-        bary[idx] = np.asarray(p1)
-        self.texture_source = dataclasses.replace(src, tri_idx=tri_idx, bary=bary)
-        self.src_t = jnp.asarray(tri_idx)
-        self.src_p = jnp.asarray(bary, self.dtype)
 
     # -- outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056) ---
 
