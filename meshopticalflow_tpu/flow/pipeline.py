@@ -735,10 +735,10 @@ class FlowProblem:
         self.src_p = self.src_p.at[idx_dev].set(p1)
         self.src_t.block_until_ready()
         self.init_profile["exp_scatter"] = round(time.time() - _t, 2)
-        if int(exhausted):
-            import sys as _sys
-            print(f"[WARNING] exp remap: {int(exhausted)} texel lanes hit the "
-                  f"step cap", file=_sys.stderr)
+        # Deferred fetch: scalar d2h reads at this point in init wedge the
+        # tunneled runtime for minutes (observed repeatedly); the count is
+        # reported with the level-0 metrics instead.
+        self._exp_exhausted = exhausted
 
     # -- outer loop (IterativeOptimization, OpticalFlow.cpp:1035-1056) ---
 
@@ -789,9 +789,16 @@ class FlowProblem:
                 jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
                 getattr(self, "vpatch", None), want_resampled=debug_dir is not None)
+            if level == start_level and getattr(self, "_exp_exhausted", None) is not None:
+                stats["exp_remap_exhausted"] = self._exp_exhausted
+                self._exp_exhausted = None
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)
+            _exp_cap = stats.get("exp_remap_exhausted", 0)
+            if _exp_cap:
+                print(f"[WARNING] exp remap: {int(_exp_cap)} texel lanes hit "
+                      f"the step cap", file=sys.stderr)
             if stats["trace_exhausted"] > 0:
                 # The reference warns per-lane on cap exhaustion (FEM.inl:897).
                 print(f"[WARNING] level {level}: "
