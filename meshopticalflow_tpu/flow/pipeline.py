@@ -378,6 +378,11 @@ class FlowProblem:
         defer_signals: bool = False,  # preprocess after the MG hierarchy exists
     ):
         enable_persistent_cache()
+        # Establish the device->host result channel while the tunnel is
+        # quiet: the FIRST d2h fetch of a compute result in a process wedges
+        # the tunneled runtime for minutes when it races the init upload
+        # burst (observed at four different fetch sites across bench runs).
+        float(jnp.add(jnp.ones(()), jnp.ones(())))
         if device_mesh is not None:
             # GSPMD shards the jitted stages; the Pallas kernels are
             # single-device, so multi-chip runs use the XLA operator path.
