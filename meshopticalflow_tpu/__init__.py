@@ -34,3 +34,7 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode, ConnectionMode
+from meshopticalflow_tpu.geometry.mesh import HostMesh, build_mesh, rotate90
+from meshopticalflow_tpu.flow.pipeline import FlowProblem
+from meshopticalflow_tpu.ops import fem_ops
+from meshopticalflow_tpu.geometry import topology

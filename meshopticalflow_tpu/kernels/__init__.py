@@ -2,6 +2,8 @@ from meshopticalflow_tpu.kernels.tracing import (
     TraceMesh,
     make_trace_mesh,
     flow_field_trace,
+    flow_field_trace_distance,
+    gradient_flow_trace,
     whitney_flow_trace,
     exp_map,
 )
@@ -9,6 +11,16 @@ from meshopticalflow_tpu.kernels.advect import (
     resample_signal,
     advect_texture,
     advect_texture_step,
+    advect_texture_compacted,
+    advect_texture_frames_scan,
+    flow_field_trace_pairs,
     sample_texture_bilinear,
     sample_vertex_signal,
+)
+from meshopticalflow_tpu.kernels.pallas_spmv import (
+    BlockEllPattern,
+    PallasEll,
+    pack_pattern,
+    spmv_tiles,
+    spmv_tiles_multi,
 )
