@@ -332,8 +332,8 @@ def update_optical_flow(
                 basis.ell_cols, sys_vals, rhs,
                 lambda r, tol_inner: solver.solve(
                     r, tol=max(cg_tol, tol_inner),
-                    max_iters=min(cg_max_iters, 140)),
-                tol=3e-9, inner_floor=3e-6)
+                    max_iters=min(cg_max_iters, 120)),
+                tol=3e-9, inner_floor=1e-5)
         else:
             x, stats = solver.solve(rhs, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))
