@@ -43,6 +43,15 @@ def main():
             img.save(dst)
         paths.append(dst)
 
+    # Tunnel quiescence: the axon terminal wedges a fresh process's first
+    # device fetch for 1-25 minutes while it tears down the PREVIOUS
+    # process's device state (benches launched seconds after a prior TPU
+    # process stalled; ones launched after a few idle minutes never did).
+    # The cooldown waits out that teardown BEFORE measurement starts — it is
+    # environment hygiene, not pipeline work.
+    cooldown = float(os.environ.get("BENCH_COOLDOWN_S", "60"))
+    time.sleep(cooldown)
+
     cfg = FlowConfig(levels=levels)
     t0 = time.time()
     prob = FlowProblem.from_texture_inputs("/root/reference/Example/mesh.ply",
