@@ -320,6 +320,7 @@ def main():
         "mg2_exact_nu4": lambda r: cycle2_exact(r, nu=4),
         "mg3_cheby4": lambda r: cycle3_cheby(r, deg=4),
         "mg3_cheby6": lambda r: cycle3_cheby(r, deg=6),
+        "w_nu1_m1": lambda r: cycle_w(r, nu=1, m=1),
         "w_nu2_m1": lambda r: cycle_w(r, nu=2, m=1),
         "w_nu2_m2": lambda r: cycle_w(r, nu=2, m=2),
         "w_nu2_m3": lambda r: cycle_w(r, nu=2, m=3),
