@@ -63,7 +63,8 @@ def test_dog_band_preserves_mean_and_variance():
     np.testing.assert_allclose(var(band), var(sig), rtol=1e-6)
 
 
-@pytest.mark.parametrize("mode", [VectorFieldMode.WHITNEY, VectorFieldMode.CONNECTION])
+@pytest.mark.parametrize("mode", [VectorFieldMode.WHITNEY, VectorFieldMode.CONNECTION,
+                                  VectorFieldMode.CONFORMAL])
 def test_vertex_pipeline_reduces_alignment_error(tmp_path, mode):
     tris, verts, sig0, sig1 = _sphere_signal_pair()
     # Write the colored pair to PLY and run through the public entry point.

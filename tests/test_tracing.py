@@ -231,3 +231,25 @@ def test_gradient_flow_descends_to_minimum(flat):
     assert (d1 <= d0 + 1e-9).all()
     assert d1.mean() < 0.35 * d0.mean()
     assert (np.asarray(total) >= 0).all()
+
+
+def test_compacted_trace_equals_plain(flat):
+    """Between-phase lane compaction is a pure re-batching: results match
+    the single while_loop bit-for-bit."""
+    import numpy as np
+    from meshopticalflow_tpu.kernels.advect import flow_field_trace_compacted
+    tris, verts, mesh, tm = flat
+    t_count = tm.n_triangles
+    rng = np.random.default_rng(11)
+    vf = jnp.asarray(rng.normal(scale=0.25, size=(t_count, 2)))
+    n = 3 * t_count
+    t0 = jnp.asarray(rng.integers(0, t_count, n), jnp.int32)
+    p0 = jnp.asarray(rng.uniform(0.05, 0.4, (n, 2)))
+    times = jnp.asarray(rng.uniform(-0.6, 0.6, n))
+    t_ref, p_ref = flow_field_trace(tm, vf, times, t0, p0, min_step=1e-2,
+                                    max_steps=512)
+    t_c, p_c, exhausted = flow_field_trace_compacted(
+        tm, vf, times, t0, p0, min_step=1e-2, max_steps=512, phase_steps=16)
+    assert exhausted == 0
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_ref), atol=0)
