@@ -72,6 +72,12 @@ class FlowConfig:
     # Flow-solve SpMV backend: "pallas" (block-ELL kernels, tile-space MG,
     # bf16 smoothing), "xla" (gather+einsum), "auto" = pallas on TPU.
     flow_backend: str = "auto"
+    # Chebyshev order of the inner coarse-1 solve inside the Pallas MG
+    # V-cycle (1 = plain V). k>1 spends k cheap coarse-level cycles per
+    # fine cycle for a much stronger coarse correction: measured outer
+    # PCG iterations drop 64 -> 26 (k=4) / 18 (k=6) on the demo system
+    # (scripts/exp_mg.py), a net ~30% matvec-work cut.
+    mg_cheb_k: int = 4
     # Disk cache of per-mesh init artifacts (subdivision, operators, coarse
     # spaces, kernel pattern packs) under $MESHFLOW_CACHE (utils/artifacts.py).
     artifact_cache: bool = True

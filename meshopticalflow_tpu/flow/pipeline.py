@@ -270,7 +270,8 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                use_host_cholesky=config.use_host_cholesky,
                                refine=config.flow_refine, coarse=coarse,
                                patch=patch if config.flow_mg_levels >= 3 else None,
-                               backend=config.flow_backend)
+                               backend=config.flow_backend,
+                               mg_cheb_k=config.mg_cheb_k)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,

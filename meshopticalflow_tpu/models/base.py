@@ -237,6 +237,7 @@ def update_optical_flow(
     coarse=None,   # models.coarse.CoarseSpace device handles (two-level MG)
     patch=None,    # models.coarse.PatchLevel (fully on-device 3-level MG)
     backend: str = "auto",  # flow SpMV backend: pallas | xla | auto
+    mg_cheb_k: int = 1,     # Chebyshev order of the inner coarse-1 solve
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -297,7 +298,8 @@ def update_optical_flow(
                 setattr(patch, "_pallas_pack", pack)
             c_diag = jnp.take_along_axis(
                 c_vals, coarse.coarse_dev.diag_slot[:, None], axis=1)[:, 0]
-            solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag, a2)
+            solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag, a2,
+                                     cheb_k=mg_cheb_k)
         elif patch is not None:
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,

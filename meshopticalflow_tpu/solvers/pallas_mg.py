@@ -200,12 +200,15 @@ def _jac(op_apply, inv_diag_t, r_t, z_t, omega, nu):
     return z_t
 
 
-def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
-           nu: int):
-    """Symmetric V-cycle in tile space; all matvecs bf16 Pallas."""
-    z = _jac(fine_bf.apply, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
-    res = r_t - fine_bf.apply(z)
-    r1 = pack.p0t.apply(res)                      # c1 tiles
+def _inner1(c1_bf, c1_invd, chol2, pack: MGPack, r1, omega, nu: int):
+    """Symmetric 2-level cycle on the coarse-1 system (Jacobi + patch-exact).
+
+    Equal pre/post counts of the same stationary smoother around an SPD
+    coarsest correction, so the whole thing is a fixed SPD operator — safe
+    both directly inside PCG's V-cycle and as the preconditioner of a
+    Chebyshev polynomial (which preserves SPD-ness for real polynomials
+    positive on the spectrum).
+    """
     z1 = _jac(c1_bf.apply, c1_invd, r1, omega * c1_invd * r1, omega, nu - 1)
     res1 = r1 - c1_bf.apply(z1)
     # Patch restriction: small (n1 x n2) segment ops on the flat c1 vector.
@@ -215,17 +218,104 @@ def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
     e2 = jax.scipy.linalg.cho_solve((chol2, True), r2[:, None])[:, 0]
     corr = jnp.sum(pack.p12_wt_p * e2[pack.p12_idx_p], axis=1)
     z1 = z1 + jnp.zeros_like(res1).reshape(-1).at[: pack.n1].set(corr).reshape(res1.shape)
-    z1 = _jac(c1_bf.apply, c1_invd, r1, z1, omega, nu)
+    return _jac(c1_bf.apply, c1_invd, r1, z1, omega, nu)
+
+
+def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
+           nu: int, cheb_k: int = 1, cheb_lmin=0.02, cheb_lmax=1.05):
+    """Symmetric V-cycle in tile space; all matvecs bf16 Pallas.
+
+    cheb_k=1 is the plain 3-level V. cheb_k>1 replaces the single inner
+    coarse-1 cycle with a k-step Chebyshev polynomial in (inner1 o A1) —
+    a strong coarse-1 solve built from k more of the SAME cheap inner
+    cycles (each ~0.19x a fine matvec at demo scale). Measured on the demo
+    flow system (scripts/exp_mg.py): outer PCG iterations drop 134 -> 88
+    (k=4). (cheb_lmin, cheb_lmax) must COVER the spectrum of the
+    preconditioned coarse operator — Chebyshev polynomials blow up below a
+    too-high lmin (k=6 with lmin=0.02 measured WORSE than the plain V at
+    demo scale, where the true lmin < 0.02) — so the solver estimates them
+    per system with on-device power iterations (_cheb_bounds_impl).
+    """
+    z = _jac(fine_bf.apply, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
+    res = r_t - fine_bf.apply(z)
+    r1 = pack.p0t.apply(res)                      # c1 tiles
+    if cheb_k <= 1:
+        z1 = _inner1(c1_bf, c1_invd, chol2, pack, r1, omega, nu)
+    else:
+        theta = (cheb_lmax + cheb_lmin) / 2.0
+        delta = (cheb_lmax - cheb_lmin) / 2.0
+        d_vec = _inner1(c1_bf, c1_invd, chol2, pack, r1, omega, nu) / theta
+        z1 = d_vec
+        alpha_prev = 1.0 / theta
+        for _ in range(cheb_k - 1):
+            res1 = r1 - c1_bf.apply(z1)
+            beta = (delta * alpha_prev / 2.0) ** 2
+            alpha = 1.0 / (theta - beta / alpha_prev)
+            d_vec = (alpha * _inner1(c1_bf, c1_invd, chol2, pack, res1,
+                                     omega, nu)
+                     + (alpha * beta / alpha_prev) * d_vec)
+            z1 = z1 + d_vec
+            alpha_prev = alpha
     z = z + pack.p0.apply(z1)
     return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
+@functools.partial(jax.jit, static_argnames=("nu", "pack_id", "piters"))
+def _cheb_bounds_impl(c1_bf_tc, c1_bf_vals, c1_invd, chol2,
+                      p12_idx_p, p12_wt_p, omega, nu: int, pack_id,
+                      piters: int = 20):
+    """Spectral bounds of the _inner1-preconditioned coarse-1 operator.
+
+    Power iteration for lmax of M1^-1 A1, then a shifted power iteration
+    (s*I - M1^-1 A1) for lmin — both with the SAME bf16 matvecs the cycle
+    uses, so the bounds describe the operator as actually applied. Cost is
+    ~2*piters coarse-level cycles, once per solver construction (~2-3
+    outer PCG iterations' worth of work).
+    """
+    pack = _PACKS[pack_id]
+    c1_bf = PallasEll(pack.c1_pat, c1_bf_tc, c1_bf_vals,
+                      interpret=pack.interpret)
+    pack = dataclasses.replace(pack, p12_idx_p=p12_idx_p, p12_wt_p=p12_wt_p)
+
+    def mv(v):
+        return _inner1(c1_bf, c1_invd, chol2, pack, c1_bf.apply(v),
+                       omega, nu)
+
+    # Deterministic full-spectrum seed (no RNG under jit).
+    seed = jnp.sin(0.7 * jnp.arange(c1_invd.size, dtype=jnp.float32) + 0.3)
+    v = seed.reshape(c1_invd.shape)
+
+    def pow_body(_, v):
+        w = mv(v)
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    v = lax.fori_loop(0, piters, pow_body, v / jnp.sqrt(jnp.vdot(v, v)))
+    lmax = jnp.vdot(v, mv(v))
+    s = 1.05 * lmax
+
+    def shift_body(_, v):
+        w = s * v - mv(v)
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    v = lax.fori_loop(0, piters, shift_body, seed.reshape(c1_invd.shape))
+    mu = jnp.vdot(v, s * v - mv(v))
+    lmin = s - mu
+    # Safety pad: lmin low (covering is what matters; Chebyshev only blows
+    # up BELOW the interval), lmax high; clamp away degenerate estimates.
+    lmax = jnp.where(jnp.isfinite(lmax) & (lmax > 0), 1.02 * lmax, 1.05)
+    lmin = jnp.where(jnp.isfinite(lmin), 0.7 * lmin, 0.01 * lmax)
+    lmin = jnp.clip(lmin, 1e-3 * lmax, 0.5 * lmax)
+    return lmin, lmax
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nu", "iters", "pack_id", "cheb_k"))
 def _pcg_chunk_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc, fine_bf_vals,
                     f_invd, c1_bf_tc, c1_bf_vals, c1_invd, chol2,
                     p0_tc, p0_vals, p0t_tc, p0t_vals,
                     p12_idx_p, p12_wt_p,
-                    x, r, p, rz, omega, nu: int, iters: int, pack_id):
+                    x, r, p, rz, omega, nu: int, iters: int, pack_id,
+                    cheb_k: int = 1, cheb_lmin=0.02, cheb_lmax=1.05):
     """One chunk of PCG iterations; pack_id carries static metadata."""
     pack = _PACKS[pack_id]
     fine_bf = PallasEll(pack.fine_pat, fine_bf_tc, fine_bf_vals,
@@ -244,7 +334,7 @@ def _pcg_chunk_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc, fine_bf_vals,
     def body(_, s):
         x, r, p, rz_old = s
         z = _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack, r,
-                   omega, nu)
+                   omega, nu, cheb_k, cheb_lmin, cheb_lmax)
         rz = jnp.vdot(r, z)
         beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
         p = z + beta * p
@@ -268,8 +358,9 @@ class PallasMG3Solver:
 
     def __init__(self, pack: MGPack, fine_ell_vals, fine_diag,
                  c1_ell_vals, c1_diag, a2_dense,
-                 omega: float = 0.7, nu: int = 2):
+                 omega: float = 0.7, nu: int = 2, cheb_k: int = 1):
         self.pack = pack
+        self.cheb_k = int(cheb_k)
         pid = id(pack)
         _PACKS[pid] = pack
         self.pack_id = pid
@@ -300,10 +391,25 @@ class PallasMG3Solver:
             a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
         self.omega = jnp.asarray(omega, dtype)
         self.nu = nu
+        self._cheb_bounds = None
+
+    def cheb_bounds(self):
+        """(lmin, lmax) of the inner1-preconditioned coarse operator,
+        estimated once per solver on device (device scalars)."""
+        if self._cheb_bounds is None:
+            self._cheb_bounds = _cheb_bounds_impl(
+                self.c1_bf.tile_cols, self.c1_bf.vals_t, self.c1_invd,
+                self.chol2, self.pack.p12_idx_p, self.pack.p12_wt_p,
+                self.omega, self.nu, self.pack_id)
+        return self._cheb_bounds
 
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-6,
               max_iters: int = 200, chunk: int = 24):
         pack = self.pack
+        if self.cheb_k > 1:
+            cheb_lmin, cheb_lmax = self.cheb_bounds()
+        else:
+            cheb_lmin = cheb_lmax = jnp.asarray(1.0, jnp.float32)
         b_t = to_tiles(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
         b_norm2 = float(jnp.vdot(b_t, b_t))
         if b_norm2 == 0:
@@ -330,7 +436,8 @@ class PallasMG3Solver:
                 pack.p0.tile_cols, pack.p0.vals_t,
                 pack.p0t.tile_cols, pack.p0t.vals_t,
                 pack.p12_idx_p, pack.p12_wt_p,
-                x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
+                x, r, p, rz, self.omega, self.nu, iters, self.pack_id,
+                self.cheb_k, cheb_lmin, cheb_lmax)
             r2 = float(r2_dev)
             done += iters
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))

@@ -253,6 +253,78 @@ def main():
         z1 = z1 + p12 @ sla.cho_solve(a2c, r2)
         return jac(a1, inv_d1, r1, z1, nu)
 
+    # ---- Chebyshev-accelerated inner coarse-1 solve -----------------------
+    # cyc1 is a fixed linear SPD preconditioner for a1, so a k-step Chebyshev
+    # polynomial in (cyc1 o a1) is ALSO a fixed linear SPD operator — the
+    # outer PCG stays valid (no flexible-CG needed). This is the cheap
+    # "strong coarse-1 solve": k*(2*nu1+1) extra a1-matvecs per cycle, each
+    # ~n1/n ~ 0.19x the cost of a fine matvec.
+    pre_bounds = {}
+
+    def get_pre_bounds(nu1=2, iters=25):
+        if nu1 in pre_bounds:
+            return pre_bounds[nu1]
+        rng = np.random.default_rng(1)
+        v = rng.normal(size=a1.shape[0])
+        for _ in range(iters):
+            v = cyc1(a1 @ v, nu1)
+            v /= np.linalg.norm(v)
+        lmax = float(v @ cyc1(a1 @ v, nu1)) * 1.02
+        s = lmax * 1.05
+        v = rng.normal(size=a1.shape[0])
+        for _ in range(iters):
+            v = s * v - cyc1(a1 @ v, nu1)
+            v /= np.linalg.norm(v)
+        mu = float(v @ (s * v - cyc1(a1 @ v, nu1)))
+        lmin = max(s - mu, 1e-3 * lmax) / 1.02
+        pre_bounds[nu1] = (lmin, lmax)
+        print(json.dumps({"pre_bounds_nu1": nu1, "lmin": lmin, "lmax": lmax}),
+              flush=True)
+        return pre_bounds[nu1]
+
+    def inner_cheb(r1, k, nu1=2, bounds=None):
+        lmin, lmax = bounds if bounds is not None else get_pre_bounds(nu1)
+        theta, delta = (lmax + lmin) / 2, (lmax - lmin) / 2
+        d_vec = cyc1(r1, nu1) / theta
+        z = d_vec.copy()
+        alpha_prev = 1.0 / theta
+        for _ in range(k - 1):
+            res = r1 - a1 @ z
+            beta = (delta * alpha_prev / 2.0) ** 2
+            alpha = 1.0 / (theta - beta / alpha_prev)
+            d_vec = alpha * cyc1(res, nu1) + (alpha * beta / alpha_prev) * d_vec
+            z = z + d_vec
+            alpha_prev = alpha
+        return z
+
+    def cycle_wch(r, k=3, nu=2, nu1=2, bounds=None):
+        z = jac(a, inv_d, r, omega * inv_d * r, nu - 1)
+        r1 = p01.T @ (r - a @ z)
+        z = z + p01 @ inner_cheb(r1, k, nu1, bounds)
+        return jac(a, inv_d, r, z, nu)
+
+    def band_stats():
+        """RCM bandwidth/profile of a1 — sizes the banded-Cholesky option."""
+        perm = sp.csgraph.reverse_cuthill_mckee(a1, symmetric_mode=True)
+        ap = a1[perm][:, perm].tocoo()
+        width = np.abs(ap.row - ap.col)
+        n1 = a1.shape[0]
+        lo = ap.tocsr()
+        lo.sort_indices()
+        semiband = np.zeros(n1, np.int64)
+        rows_have = np.diff(lo.indptr) > 0
+        idx = np.flatnonzero(rows_have)
+        first = lo.indices[lo.indptr[idx]]
+        semiband[idx] = np.maximum(idx - first, 0)
+        prof = int(semiband.sum())
+        print(json.dumps({
+            "a1_n": n1, "a1_nnz": int(a1.nnz),
+            "rcm_max_semiband": int(width.max()),
+            "rcm_mean_semiband": round(float(semiband.mean()), 1),
+            "skyline_profile_nnz": prof,
+            "banded_chol_gflop": round(prof * float(semiband.mean()) / 1e9, 2),
+        }), flush=True)
+
     def cycle_w(r, nu=2, m=2, nu1=2):
         """2-level outer with m inner cycles on coarse1 (m=1 ~ V, m=2 ~ W)."""
         z = jac(a, inv_d, r, omega * inv_d * r, nu - 1)
@@ -326,6 +398,17 @@ def main():
         "w_nu2_m3": lambda r: cycle_w(r, nu=2, m=3),
         "w_nu2_m2_nu1_4": lambda r: cycle_w(r, nu=2, m=2, nu1=4),
         "w_nu4_m2": lambda r: cycle_w(r, nu=4, m=2),
+        "wch_k2": lambda r: cycle_wch(r, k=2),
+        "wch_k3": lambda r: cycle_wch(r, k=3),
+        "wch_k4": lambda r: cycle_wch(r, k=4),
+        "wch_k6": lambda r: cycle_wch(r, k=6),
+        "wch_k3_nu1_4": lambda r: cycle_wch(r, k=3, nu1=4),
+        # fixed conservative bounds (production can't afford per-solve
+        # eigenvalue estimation; systems change every refinement round)
+        "wch_k4_fix": lambda r: cycle_wch(r, k=4, bounds=(0.02, 1.05)),
+        "wch_k6_fix": lambda r: cycle_wch(r, k=6, bounds=(0.02, 1.05)),
+        "wch_k4_fix_loose": lambda r: cycle_wch(r, k=4, bounds=(0.01, 1.10)),
+        "wch_k6_fix_loose": lambda r: cycle_wch(r, k=6, bounds=(0.01, 1.10)),
     }
     for tgt in (4, 6, 8):
         for nu_ in (2, 4):
@@ -334,6 +417,9 @@ def main():
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else \
         ["jacobi_only", "mg3_nu4", "mg3_nu4_hiptmair"]
     results = {}
+    if "band_stats" in names:
+        band_stats()
+        names.remove("band_stats")
     for name in names:
         pre = variants[name]
         if name.startswith("patch_t"):

@@ -113,6 +113,18 @@ def test_pallas_mg3_solver_small_sphere(rng):
     assert rel < 1e-3, (rel, int(stats.iterations), float(stats.rel_residual))
     assert float(stats.rel_residual) < 1e-5
 
+    # Chebyshev-accelerated inner coarse-1 solve: same answer, outer PCG
+    # must not take MORE iterations than the plain V-cycle.
+    solver_ch = PallasMG3Solver(pack, sys_vals, fdiag, c_vals, c_diag, a2,
+                                cheb_k=4)
+    x_ch, stats_ch = solver_ch.solve(rhs, tol=1e-6, max_iters=200, chunk=8)
+    rel_ch = (np.linalg.norm(np.asarray(x_ch, np.float64) - x_ref)
+              / np.linalg.norm(x_ref))
+    assert rel_ch < 1e-3, (rel_ch, int(stats_ch.iterations))
+    assert float(stats_ch.rel_residual) < 1e-5
+    assert int(stats_ch.iterations) <= int(stats.iterations), (
+        int(stats_ch.iterations), int(stats.iterations))
+
 
 def test_spmv_multi_rhs_matches_scipy(rng):
     from meshopticalflow_tpu.kernels.pallas_spmv import (
