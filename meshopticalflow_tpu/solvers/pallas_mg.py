@@ -349,8 +349,26 @@ def _pcg_chunk_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc, fine_bf_vals,
 
 
 # Registry of static pack metadata so the jitted chunk can close over
-# patterns (shapes/slots) without retracing per solve.
-_PACKS = {}
+# patterns (shapes/slots) without retracing per solve. Values are weak:
+# a dead pack drops out instead of pinning its (large) pattern arrays, and
+# uids are never reused, so a recycled ``id()`` can't serve the wrong pack
+# to a jitted chunk (the round-2 ``id(pack)`` keying could).
+import itertools
+import weakref
+
+_PACKS: "weakref.WeakValueDictionary[int, MGPack]" = weakref.WeakValueDictionary()
+_PACK_UIDS = itertools.count()
+
+
+def _register_pack(pack: MGPack) -> int:
+    """Stable unique id for a pack; idempotent so repeated solver
+    constructions over the SAME pack object keep hitting the jit cache."""
+    uid = getattr(pack, "_uid", None)
+    if uid is None or _PACKS.get(uid) is not pack:
+        uid = next(_PACK_UIDS)
+        object.__setattr__(pack, "_uid", uid)
+        _PACKS[uid] = pack
+    return uid
 
 
 class PallasMG3Solver:
@@ -361,9 +379,7 @@ class PallasMG3Solver:
                  omega: float = 0.7, nu: int = 2, cheb_k: int = 1):
         self.pack = pack
         self.cheb_k = int(cheb_k)
-        pid = id(pack)
-        _PACKS[pid] = pack
-        self.pack_id = pid
+        self.pack_id = _register_pack(pack)
         dtype = jnp.float32
         tc_f = jnp.asarray(pack.fine_pat.tile_cols)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
@@ -535,9 +551,7 @@ class PallasMG3MultiSolver:
                  c1_ell_vals, c1_diag, a2_dense,
                  omega: float = 0.7, nu: int = 2):
         self.pack = pack
-        pid = id(pack)
-        _PACKS[pid] = pack
-        self.pack_id = pid
+        self.pack_id = _register_pack(pack)
         tc_f = jnp.asarray(pack.fine_pat.tile_cols)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
                                   pack.fine_pat.nr, pack.fine_pat.k)

@@ -50,16 +50,35 @@ def _host_csr(cols: jnp.ndarray, vals: jnp.ndarray) -> sp.csr_matrix:
                          shape=(n, n))
 
 
+def _df32_available() -> bool:
+    from meshopticalflow_tpu.solvers.df32 import df32_probe
+    import jax
+    return df32_probe(jax.default_backend())
+
+
 def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
-                max_rounds: int = 5, inner_floor: float = 1e-6):
+                max_rounds: int = 5, inner_floor: float = 1e-6,
+                residuals: str = "auto"):
     """Iterative refinement around an arbitrary inner solver.
 
     ``inner_solve(r_device, inner_tol) -> (e_device, CGStats)`` approximately
-    solves A e = r to relative tolerance ``inner_tol``; residuals are
-    evaluated in float64 on host. The per-round inner tolerance adapts:
-    round k only needs to close the REMAINING gap (tol / rel), so late
-    rounds run a fraction of the first round's iterations.
+    solves A e = r to relative tolerance ``inner_tol``; outer residuals are
+    evaluated to ~f64 accuracy ON DEVICE via double-float arithmetic
+    (solvers/df32.py) — only two convergence scalars cross the tunnel per
+    round. ``residuals="host"`` keeps the round-2 f64 scipy CSR path
+    (the fallback when df32_probe fails on a miscompiling backend). The
+    per-round inner tolerance adapts: round k only needs to close the
+    REMAINING gap (tol / rel), so late rounds run a fraction of the first
+    round's iterations.
     """
+    if residuals == "auto":
+        # df32 targets the f32 production path; f64 problems (CPU oracle
+        # runs) keep the host f64 CSR residuals with identical rounding.
+        residuals = "device" if (jnp.dtype(b.dtype) == jnp.float32
+                                 and _df32_available()) else "host"
+    if residuals == "device":
+        return _refine_loop_device(cols, vals, b, inner_solve, tol,
+                                   max_rounds, inner_floor)
     a_host = _host_csr(cols, vals)
     b_host = np.asarray(b, np.float64)
     b_norm = float(np.linalg.norm(b_host))
@@ -92,6 +111,49 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
                                                  jnp.asarray(min(best_rel, 1e30), b.dtype))
 
 
+def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
+                        max_rounds: int, inner_floor: float):
+    """Device-resident refinement: x lives as a df32 (hi, lo) pair, the
+    residual SpMV runs compensated f32 on the ELL layout, and the host only
+    fetches [||r||^2, max|r|] each round (VERDICT r2 next #5)."""
+    from meshopticalflow_tpu.solvers.df32 import df_update, ell_residual_df
+
+    vals_f32 = vals.astype(jnp.float32)
+    b_f32 = b.astype(jnp.float32)
+    b_norm2 = float(jnp.vdot(b_f32, b_f32))
+    if b_norm2 == 0:
+        return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                          jnp.asarray(0.0, b.dtype))
+    b_norm = float(np.sqrt(b_norm2))
+    x_hi = jnp.zeros_like(b_f32)
+    x_lo = jnp.zeros_like(b_f32)
+    total_iters = 0
+    best_x, best_rel = x_hi, np.inf
+    prev_rel = np.inf
+    for round_idx in range(max_rounds + 1):
+        r_hi, r_lo, stats = ell_residual_df(cols, vals_f32, x_hi, x_lo, b_f32)
+        stats_h = np.asarray(stats)
+        rel = float(np.sqrt(max(stats_h[0], 0.0))) / b_norm
+        if rel < best_rel:
+            best_x, best_rel = x_hi, rel
+        # Stop at the target, near the df32 noise floor, at stagnation
+        # (<2x improvement), or after max_rounds inner solves — matching the
+        # host path's exit conditions (the +1th pass is residual-only).
+        if rel < max(tol, 1e-11) or rel > 0.5 * prev_rel \
+                or round_idx == max_rounds:
+            break
+        prev_rel = rel
+        scale = float(stats_h[1]) or 1.0
+        inner_tol = min(max(tol / rel, inner_floor), 0.5)
+        e, st = inner_solve(((r_hi + r_lo) / scale).astype(b.dtype), inner_tol)
+        total_iters += int(st.iterations)
+        x_hi, x_lo = df_update(x_hi, x_lo, e.astype(jnp.float32),
+                               jnp.float32(scale))
+    return best_x.astype(b.dtype), CGStats(
+        jnp.asarray(total_iters, jnp.int32),
+        jnp.asarray(min(best_rel, 1e30), b.dtype))
+
+
 def ell_solve_refined(
     cols: jnp.ndarray,
     vals: jnp.ndarray,        # (N, W) float32 system values
@@ -102,9 +164,24 @@ def ell_solve_refined(
     inner_tol: float = 1e-6,
     inner_iters: int = 2000,
     chunk: int = 128,
+    residuals: str = "auto",
 ) -> Tuple[jnp.ndarray, CGStats]:
     """Solve A x = b to ~float64 residual accuracy. Returns (x as b.dtype,
-    stats with total inner iterations and the final f64 relative residual)."""
+    stats with total inner iterations and the final f64-grade relative
+    residual). Residuals run on device (df32) when the backend supports it;
+    ``residuals="host"`` forces the f64 scipy path."""
+    if residuals == "auto":
+        # df32 targets the f32 production path; f64 problems (CPU oracle
+        # runs) keep the host f64 CSR residuals with identical rounding.
+        residuals = "device" if (jnp.dtype(b.dtype) == jnp.float32
+                                 and _df32_available()) else "host"
+    if residuals == "device":
+        return _refine_loop_device(
+            cols, vals, b,
+            lambda r, t: ell_pcg(cols, vals, diag, r,
+                                 tol=min(max(t, inner_tol), 0.5),
+                                 max_iters=inner_iters, chunk=chunk),
+            tol, max_rounds, inner_tol)
     a_host = _host_csr(cols, vals)
     b_host = np.asarray(b, np.float64)
     b_norm = float(np.linalg.norm(b_host))

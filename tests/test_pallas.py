@@ -231,3 +231,31 @@ def _make_interp_solver(prob, w, pm):
                            axis=1)[:, None], axis=1)[:, 0]
     a2 = vpatch.m2_dense + w * vpatch.k2_dense
     return pm.PallasMG3MultiSolver(pack, sys_vals, diag_, c_vals, c_diag, a2), b
+
+
+def test_pack_registry_weakref_gc():
+    """_PACKS must not leak dead packs, must never serve a stale pack for a
+    recycled key, and must keep serving a LIVE pack under the same uid
+    (VERDICT r2 weak #6)."""
+    import gc
+
+    from meshopticalflow_tpu.solvers import pallas_mg as pm
+
+    class _FakePack:  # weakref-able stand-in; registration only touches _uid
+        pass
+
+    before = len(pm._PACKS)
+    live = _FakePack()
+    uid_live = pm._register_pack(live)
+    assert pm._register_pack(live) == uid_live  # idempotent (jit-cache key)
+    dead_uids = []
+    for _ in range(50):
+        p = _FakePack()
+        dead_uids.append(pm._register_pack(p))
+        del p
+    gc.collect()
+    assert len(pm._PACKS) == before + 1           # dead packs evicted
+    assert pm._PACKS.get(uid_live) is live        # live pack still served
+    for uid in dead_uids:
+        assert uid != uid_live
+        assert pm._PACKS.get(uid) is None         # no stale/recycled entries
