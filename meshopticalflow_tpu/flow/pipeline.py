@@ -271,7 +271,8 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                refine=config.flow_refine, coarse=coarse,
                                patch=patch if config.flow_mg_levels >= 3 else None,
                                backend=config.flow_backend,
-                               mg_cheb_k=config.mg_cheb_k)
+                               mg_cheb_k=config.mg_cheb_k,
+                               mg_coarse_exact=config.mg_coarse_exact)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,

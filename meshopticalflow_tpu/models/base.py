@@ -238,6 +238,7 @@ def update_optical_flow(
     patch=None,    # models.coarse.PatchLevel (fully on-device 3-level MG)
     backend: str = "auto",  # flow SpMV backend: pallas | xla | auto
     mg_cheb_k: int = 1,     # Chebyshev order of the inner coarse-1 solve
+    mg_coarse_exact: bool = False,  # banded-Cholesky exact c1 solve
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -298,8 +299,18 @@ def update_optical_flow(
                 setattr(patch, "_pallas_pack", pack)
             c_diag = jnp.take_along_axis(
                 c_vals, coarse.coarse_dev.diag_slot[:, None], axis=1)[:, 0]
+            c1_band = None
+            if mg_coarse_exact:
+                from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
+                c1_band = getattr(patch, "_c1_band", None)
+                if c1_band is None:
+                    key = getattr(patch, "_artifact_key", "")
+                    c1_band = build_c1_band(
+                        pack, np.asarray(coarse.coarse_dev.ell_cols),
+                        cache_key=(key + ".c1band") if key else "")
+                    setattr(patch, "_c1_band", c1_band)
             solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag, a2,
-                                     cheb_k=mg_cheb_k)
+                                     cheb_k=mg_cheb_k, c1_band=c1_band)
         elif patch is not None:
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,

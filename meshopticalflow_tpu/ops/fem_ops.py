@@ -623,3 +623,53 @@ def gradient_dual_matrix(mesh: HostMesh,
     return sp.coo_matrix((np.concatenate(vals),
                           (np.concatenate(rows), np.concatenate(cols))),
                          shape=(out_rows, 2 * t_count)).tocsr()
+
+
+def set_gradient(mesh: HostMesh, vertex_values: np.ndarray,
+                 grad_type: int = HAT_GRADIENT) -> np.ndarray:
+    """Gradient EVALUATION form (setGradient, FEM.inl:1447-1469): per-triangle
+    tangent 2-vectors from per-vertex scalars.
+
+    For HAT_GRADIENT_AND_ROTATED_GRADIENT ``vertex_values`` carries 2V
+    entries (hat half then rotated half, summed), matching the reference's
+    offset convention."""
+    tri = mesh.triangles.astype(np.int64)
+    g_inv = np.linalg.inv(mesh.g)
+    v_count = mesh.n_vertices
+    out = np.zeros((mesh.n_triangles, 2))
+    off = 0
+    if grad_type & HAT_GRADIENT:
+        vals = np.asarray(vertex_values)[tri]                # (T, 3)
+        d = np.stack([vals[:, 1] - vals[:, 0], vals[:, 2] - vals[:, 0]], axis=1)
+        out += np.einsum("tab,tb->ta", g_inv, d)
+        off = v_count if grad_type == HAT_GRADIENT_AND_ROTATED_GRADIENT else 0
+    if grad_type & HAT_ROTATED_GRADIENT:
+        vals = np.asarray(vertex_values)[tri + off]
+        d = np.stack([vals[:, 1] - vals[:, 0], vals[:, 2] - vals[:, 0]], axis=1)
+        out += rotate90(mesh.g, np.einsum("tab,tb->ta", g_inv, d))
+    return out
+
+
+def gradient_mass_matrix(mesh: HostMesh,
+                         grad_type: int = HAT_GRADIENT) -> sp.csr_matrix:
+    """gradientMassMatrix (FEM.inl:1550-1555): G^T M_vf G."""
+    g_mat = gradient_matrix(mesh, grad_type)
+    m_vf = vector_field_mass_matrix(mesh)
+    return (g_mat.T @ m_vf @ g_mat).tocsr()
+
+
+def gradient_stiffness_matrix(mesh: HostMesh,
+                              grad_type: int = HAT_GRADIENT) -> sp.csr_matrix:
+    """gradientStiffnessMatrix (FEM.inl:1556-1585): the bi-stiffness
+    K M_lumped^{-1} K (with M lumped by ROW SUM of the consistent mass),
+    duplicated block-diagonally for the combined gradient type."""
+    from meshopticalflow_tpu.ops.assemble import (scalar_mass_csr,
+                                                  scalar_stiffness_csr)
+
+    k = scalar_stiffness_csr(mesh)
+    m = scalar_mass_csr(mesh, lump=False)
+    inv_row = 1.0 / np.asarray(m.sum(axis=1)).ravel()
+    bi = (k @ sp.diags(inv_row) @ k).tocsr()
+    if grad_type == HAT_GRADIENT_AND_ROTATED_GRADIENT:
+        return sp.block_diag([bi, bi]).tocsr()
+    return bi

@@ -141,13 +141,14 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
 
     n = basis.n_coeffs
     dtype = basis.s_vals.dtype
-    s_diag = jnp.take_along_axis(basis.s_vals, basis.diag_slot[:, None], axis=1)[:, 0]
-    m_diag = _mass_diag(basis, mass_blocks)
-    diag = s_diag + sigma * m_diag
-    # The chunked ELL solver needs a pure ELL matrix; approximate the tiny
-    # sigma*M shift (sigma ~ 1e-8) by its diagonal — an O(sigma) operator
-    # perturbation, far inside the Ritz acceptance threshold.
-    sys_vals = basis.s_vals.at[jnp.arange(n), basis.diag_slot].add(sigma * m_diag)
+    # EXACT sigma*M on the ELL layout: M = P^T diag(g*area) P shares the
+    # R D P sparsity that finalize_basis already unions into ell_cols, so
+    # its entries assemble through the same dt_slots scatter
+    # (EigenvalueSolver.h:176-178 semantics, no diagonal substitution).
+    from meshopticalflow_tpu.models.base import data_term_ell_vals
+    sigma_m = data_term_ell_vals(basis, sigma * mass_blocks)
+    sys_vals = basis.s_vals + sigma_m.reshape(basis.ell_cols.shape)
+    diag = jnp.take_along_axis(sys_vals, basis.diag_slot[:, None], axis=1)[:, 0]
 
     v0 = v0 - defl_v.T @ (defl_mv @ v0)
     v0 = v0 / jnp.sqrt(jnp.vdot(v0, _mass_matvec(basis, mass_blocks, v0)))

@@ -221,6 +221,81 @@ def _inner1(c1_bf, c1_invd, chol2, pack: MGPack, r1, omega, nu: int):
     return _jac(c1_bf.apply, c1_invd, r1, z1, omega, nu)
 
 
+@dataclasses.dataclass
+class BandedC1:
+    """Static handle for the EXACT banded-Cholesky coarse-1 solve
+    (solvers/banded.py) in the MG cycle's tile space.
+
+    tile_to_band / band_to_tile are the composed gather maps between the
+    c1 TILE flat order (pack.c1_pat.row_perm) and the band's RCM order, so
+    the solve plugs into the cycle with two cheap gathers. l_blocks is the
+    per-level factorization (values change per Gauss-Newton level; the
+    pattern and maps are static and artifact-cached)."""
+
+    slots: jnp.ndarray          # ELL-entry -> band slot map (static)
+    tile_to_band: jnp.ndarray   # (m*nb,) band row i <- c1-tile flat index
+    band_to_tile: jnp.ndarray   # (n1,) tile flat j <- band row index
+    nb: int
+    bw: int
+    m: int
+    n1: int
+
+
+def build_c1_band(pack: MGPack, c1_ell_cols: np.ndarray, nb: int = 128,
+                  cache_key: str = "") -> BandedC1:
+    """Band layout for the c1 system + composed tile<->band maps."""
+    from meshopticalflow_tpu.solvers.banded import build_band_pattern
+    from meshopticalflow_tpu.utils.artifacts import cached
+
+    def compute():
+        pat = build_band_pattern(np.asarray(c1_ell_cols), nb=nb)
+        return dict(slots=pat.slots, perm=pat.perm, inv_perm=pat.inv_perm,
+                    dims=np.asarray([pat.nb, pat.bw, pat.m, pat.n]))
+
+    d = cached("c1band", cache_key, compute, enabled=bool(cache_key))
+    nb_, bw, m, n1 = (int(x) for x in d["dims"])
+    inv_c1 = np.empty(n1, np.int64)
+    inv_c1[np.asarray(pack.c1_pat.row_perm)] = np.arange(n1)
+    band_perm = np.asarray(d["perm"])
+    band_inv = np.asarray(d["inv_perm"])
+    # pad band rows beyond n1 (m*nb >= n1) to gather a zeroed tail slot
+    t2b = np.full(m * nb_, n1, np.int64)
+    t2b[:n1] = inv_c1[band_perm]
+    b2t = band_inv[np.asarray(pack.c1_pat.row_perm)]
+    return BandedC1(slots=jnp.asarray(d["slots"]),
+                    tile_to_band=jnp.asarray(t2b, jnp.int32),
+                    band_to_tile=jnp.asarray(b2t, jnp.int32),
+                    nb=nb_, bw=bw, m=m, n1=n1)
+
+
+def _inner1_exact(l_blocks, band: BandedC1, r1):
+    """z1 = A1^{-1} r1 through the banded factorization; r1 in tile space.
+
+    Handles both the single-rhs (nr1, 128) and multi-rhs (nr1, 8, 128)
+    tile layouts."""
+    from meshopticalflow_tpu.solvers.banded import (band_lower_solve,
+                                                    band_upper_solve)
+
+    multi = r1.ndim == 3
+    if multi:
+        flat = r1.transpose(0, 2, 1).reshape(-1, 8)       # (nr1*128, 8)
+    else:
+        flat = r1.reshape(-1)[:, None]                     # (nr1*128, 1)
+    c = flat.shape[1]
+    flat_pad = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
+    rhs = flat_pad[band.tile_to_band].reshape(band.m, band.nb, c)
+    y = band_lower_solve(l_blocks, rhs, band.nb, band.bw)
+    x = band_upper_solve(l_blocks, y, band.nb, band.bw)
+    x_flat = x.reshape(band.m * band.nb, c)
+    x_tile = x_flat[band.band_to_tile]                     # (n1, c)
+    nfull = flat.shape[0]
+    out = jnp.zeros((nfull, c), x_tile.dtype).at[: band.n1].set(x_tile)
+    if multi:
+        nr1 = r1.shape[0]
+        return out.reshape(nr1, 128, 8).transpose(0, 2, 1)
+    return out[:, 0].reshape(r1.shape)
+
+
 def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
            nu: int, cheb_k: int = 1, cheb_lmin=0.02, cheb_lmax=1.05):
     """Symmetric V-cycle in tile space; all matvecs bf16 Pallas.
@@ -258,6 +333,61 @@ def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
             alpha_prev = alpha
     z = z + pack.p0.apply(z1)
     return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
+
+
+def _band_from_args(l_blocks, t2b, b2t) -> BandedC1:
+    """Reconstruct the static band metadata from argument shapes (all
+    shape-derived, so this is jit-trace-safe without a registry)."""
+    m, nbbw, nb = l_blocks.shape
+    return BandedC1(slots=None, tile_to_band=t2b, band_to_tile=b2t,
+                    nb=nb, bw=nbbw - nb, m=m, n1=b2t.shape[0])
+
+
+def _cycle_exact(fine_bf, f_invd, l_blocks, band: BandedC1, pack: MGPack,
+                 r_t, omega, nu: int):
+    """Two-level V-cycle with the EXACT banded c1 solve — the measured
+    ~59-iteration configuration (scripts/exp_mg.py mg2_exact_nu2) that the
+    3-level Jacobi+patch cycle approximates at 236-304 iterations."""
+    z = _jac(fine_bf.apply, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
+    res = r_t - fine_bf.apply(z)
+    r1 = pack.p0t.apply(res)
+    z1 = _inner1_exact(l_blocks, band, r1)
+    z = z + pack.p0.apply(z1)
+    return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
+def _pcg_chunk_banded_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc,
+                           fine_bf_vals, f_invd, l_blocks, t2b, b2t,
+                           p0_tc, p0_vals, p0t_tc, p0t_vals,
+                           x, r, p, rz, omega, nu: int, iters: int, pack_id):
+    """PCG chunk with the banded-exact coarse cycle as preconditioner."""
+    pack = _PACKS[pack_id]
+    fine_bf = PallasEll(pack.fine_pat, fine_bf_tc, fine_bf_vals,
+                        interpret=pack.interpret)
+    fine_f32 = PallasEll(pack.fine_pat, fine_f32_tc, fine_f32_vals,
+                         interpret=pack.interpret)
+    pack = dataclasses.replace(
+        pack, p0=PallasEll(pack.p0.pattern, p0_tc, p0_vals,
+                           interpret=pack.interpret),
+        p0t=PallasEll(pack.p0t.pattern, p0t_tc, p0t_vals,
+                      interpret=pack.interpret))
+    band = _band_from_args(l_blocks, t2b, b2t)
+
+    def body(_, s):
+        x, r, p, rz_old = s
+        z = _cycle_exact(fine_bf, f_invd, l_blocks, band, pack, r, omega, nu)
+        rz = jnp.vdot(r, z)
+        beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
+        p = z + beta * p
+        ap = fine_f32.apply(p)
+        pap = jnp.vdot(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        return (x + alpha * p, r - alpha * ap, p, rz)
+
+    x, r, p, rz = lax.fori_loop(0, iters, body, (x, r, p, rz))
+    r2 = jnp.vdot(r, r)
+    return x, r, p, rz, r2
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "pack_id", "piters"))
@@ -376,10 +506,29 @@ class PallasMG3Solver:
 
     def __init__(self, pack: MGPack, fine_ell_vals, fine_diag,
                  c1_ell_vals, c1_diag, a2_dense,
-                 omega: float = 0.7, nu: int = 2, cheb_k: int = 1):
+                 omega: float = 0.7, nu: int = 2, cheb_k: int = 1,
+                 c1_band: Optional[BandedC1] = None):
         self.pack = pack
         self.cheb_k = int(cheb_k)
         self.pack_id = _register_pack(pack)
+        # Exact banded c1 factorization (per level: one scatter + one scan;
+        # the escalating-shift retry costs one scalar fetch per attempt).
+        self.c1_band = c1_band
+        self.c1_l_blocks = None
+        if c1_band is not None:
+            from meshopticalflow_tpu.solvers.banded import (band_cholesky,
+                                                            band_revalue)
+            s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
+                                    c1_band.m, c1_band.nb, c1_band.bw)
+            dmax = float(jnp.max(jnp.abs(c1_diag)))
+            for rel in (0.0, 1e-6, 1e-4, 1e-2):
+                l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
+                                             c1_band.nb, c1_band.bw)
+                if bool(ok):
+                    self.c1_l_blocks = l_blocks
+                    break
+            # on total breakdown fall back to the 3-level cycle (c1_l_blocks
+            # stays None)
         dtype = jnp.float32
         tc_f = jnp.asarray(pack.fine_pat.tile_cols)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
@@ -422,7 +571,7 @@ class PallasMG3Solver:
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-6,
               max_iters: int = 200, chunk: int = 24):
         pack = self.pack
-        if self.cheb_k > 1:
+        if self.cheb_k > 1 and self.c1_l_blocks is None:
             cheb_lmin, cheb_lmax = self.cheb_bounds()
         else:
             cheb_lmin = cheb_lmax = jnp.asarray(1.0, jnp.float32)
@@ -444,16 +593,26 @@ class PallasMG3Solver:
         r2 = b_norm2
         while done < max_iters and r2 > threshold:
             iters = min(chunk, max_iters - done)
-            x, r, p, rz, r2_dev = _pcg_chunk_impl(
-                self.fine_f32.tile_cols, self.fine_f32.vals_t,
-                self.fine_bf.tile_cols, self.fine_bf.vals_t,
-                self.f_invd, self.c1_bf.tile_cols, self.c1_bf.vals_t,
-                self.c1_invd, self.chol2,
-                pack.p0.tile_cols, pack.p0.vals_t,
-                pack.p0t.tile_cols, pack.p0t.vals_t,
-                pack.p12_idx_p, pack.p12_wt_p,
-                x, r, p, rz, self.omega, self.nu, iters, self.pack_id,
-                self.cheb_k, cheb_lmin, cheb_lmax)
+            if self.c1_l_blocks is not None:
+                x, r, p, rz, r2_dev = _pcg_chunk_banded_impl(
+                    self.fine_f32.tile_cols, self.fine_f32.vals_t,
+                    self.fine_bf.tile_cols, self.fine_bf.vals_t,
+                    self.f_invd, self.c1_l_blocks,
+                    self.c1_band.tile_to_band, self.c1_band.band_to_tile,
+                    pack.p0.tile_cols, pack.p0.vals_t,
+                    pack.p0t.tile_cols, pack.p0t.vals_t,
+                    x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
+            else:
+                x, r, p, rz, r2_dev = _pcg_chunk_impl(
+                    self.fine_f32.tile_cols, self.fine_f32.vals_t,
+                    self.fine_bf.tile_cols, self.fine_bf.vals_t,
+                    self.f_invd, self.c1_bf.tile_cols, self.c1_bf.vals_t,
+                    self.c1_invd, self.chol2,
+                    pack.p0.tile_cols, pack.p0.vals_t,
+                    pack.p0t.tile_cols, pack.p0t.vals_t,
+                    pack.p12_idx_p, pack.p12_wt_p,
+                    x, r, p, rz, self.omega, self.nu, iters, self.pack_id,
+                    self.cheb_k, cheb_lmin, cheb_lmax)
             r2 = float(r2_dev)
             done += iters
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))

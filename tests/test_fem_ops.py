@@ -197,3 +197,73 @@ def test_spectrum_runs_on_fem_stiffness(tmp_path):
     ev = json.loads(r.stdout.strip().splitlines()[-1])["eigenvalues"]
     assert len(ev) == 3 and all(np.isfinite(ev))
     assert os.path.exists(str(tmp_path / "eigenvector-001.bin"))
+
+
+def _sphere():
+    tris, verts = make_sphere_mesh(2)
+    return build_mesh(tris, vertices=verts)
+
+
+def test_set_gradient_matches_gradient_matrix():
+    """Evaluation form == matrix form (setGradient vs gradientMatrix,
+    FEM.inl:1447-1469 / 1371-1403), for all three gradType flags."""
+    from meshopticalflow_tpu.ops.fem_ops import (
+        HAT_GRADIENT, HAT_GRADIENT_AND_ROTATED_GRADIENT, HAT_ROTATED_GRADIENT,
+        gradient_matrix, set_gradient)
+
+    mesh = _sphere()
+    rng = np.random.default_rng(11)
+    for gt in (HAT_GRADIENT, HAT_ROTATED_GRADIENT,
+               HAT_GRADIENT_AND_ROTATED_GRADIENT):
+        n_in = 2 * mesh.n_vertices if gt == HAT_GRADIENT_AND_ROTATED_GRADIENT \
+            else mesh.n_vertices
+        v = rng.normal(size=n_in)
+        ev = set_gradient(mesh, v, gt)
+        mat = gradient_matrix(mesh, gt) @ v
+        assert np.allclose(ev.ravel(), mat.reshape(-1, 2).ravel()
+                           if False else mat, atol=1e-12)
+
+
+def test_gradient_mass_matrix_is_dirichlet_energy():
+    """G^T M_vf G of the hat gradient == the scalar stiffness (cotan) matrix:
+    integral |grad phi_i . grad phi_j| dA — the defining identity."""
+    from meshopticalflow_tpu.ops.assemble import scalar_stiffness_csr
+    from meshopticalflow_tpu.ops.fem_ops import (
+        HAT_GRADIENT, HAT_GRADIENT_AND_ROTATED_GRADIENT, gradient_mass_matrix)
+
+    mesh = _sphere()
+    gm = gradient_mass_matrix(mesh, HAT_GRADIENT)
+    k = scalar_stiffness_csr(mesh)
+    assert abs(gm - k).max() < 1e-10
+    both = gradient_mass_matrix(mesh, HAT_GRADIENT_AND_ROTATED_GRADIENT)
+    # rotation preserves the metric: both halves carry the Dirichlet energy
+    assert abs(both[: mesh.n_vertices, : mesh.n_vertices] - k).max() < 1e-10
+    assert abs(both[mesh.n_vertices:, mesh.n_vertices:] - k).max() < 1e-10
+
+
+def test_gradient_stiffness_matrix_properties():
+    """biStiffness = K M_lumped^{-1} K (FEM.inl:1556-1585): PSD, symmetric,
+    annihilates constants, and block-duplicates for the combined type."""
+    from meshopticalflow_tpu.ops.assemble import (scalar_mass_csr,
+                                                  scalar_stiffness_csr)
+    from meshopticalflow_tpu.ops.fem_ops import (
+        HAT_GRADIENT, HAT_GRADIENT_AND_ROTATED_GRADIENT,
+        gradient_stiffness_matrix)
+
+    import scipy.sparse as sp
+
+    mesh = _sphere()
+    bi = gradient_stiffness_matrix(mesh, HAT_GRADIENT)
+    k = scalar_stiffness_csr(mesh)
+    m = scalar_mass_csr(mesh, lump=False)
+    inv = sp.diags(1.0 / np.asarray(m.sum(axis=1)).ravel())
+    assert abs(bi - k @ inv @ k).max() < 1e-12
+    assert abs(bi - bi.T).max() < 1e-12
+    ones = np.ones(mesh.n_vertices)
+    assert np.abs(bi @ ones).max() < 1e-8
+    v = np.random.default_rng(0).normal(size=mesh.n_vertices)
+    assert v @ (bi @ v) >= -1e-10
+    both = gradient_stiffness_matrix(mesh, HAT_GRADIENT_AND_ROTATED_GRADIENT)
+    assert both.shape == (2 * mesh.n_vertices, 2 * mesh.n_vertices)
+    assert abs(both[mesh.n_vertices:, mesh.n_vertices:] - bi).max() < 1e-12
+    assert abs(both[: mesh.n_vertices, mesh.n_vertices:]).max() == 0
