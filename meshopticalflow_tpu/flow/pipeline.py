@@ -231,16 +231,33 @@ def _dataterm_from_samples(arrays: ProblemArrays, smoothed, t1, p1):
     return d_blocks, rhs_t, align_err
 
 
-def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig):
+def _stage_resample(arrays: ProblemArrays, tfield, smoothed, config: FlowConfig,
+                    compact: bool = False):
     """Advect both smoothed signals by -1/2 / +1/2 and build the data term
     plus the alignment-error diagnostic (OpticalFlow.cpp:439-470, 1012-1023).
     Returns (d_blocks, rhs_t, align_err, exhausted, (t1, p1)).
 
     The tracing while_loop runs as its OWN dispatch: on the experimental
     axon TPU backend, fusing it with the downstream gather/segment-sum graph
-    miscompiles (lane results differ from the standalone loop)."""
-    t1, p1, exhausted = _trace_pair(arrays.tm, tfield, smoothed,
-                                    config.flow_min_step, config.flow_max_steps)
+    miscompiles (lane results differ from the standalone loop).
+
+    ``compact`` routes the trace through the compacted driver with cap
+    ESCALATION (kernels/advect.py): straggler lanes march past
+    flow_max_steps in small compacted batches instead of freezing mid-path
+    (single-device runs only — sharded runs keep the one-dispatch loop)."""
+    if compact:
+        from meshopticalflow_tpu.kernels.advect import flow_field_trace_compacted
+        t_count = arrays.tm.n_triangles
+        t0 = jnp.tile(jnp.arange(t_count, dtype=jnp.int32), 2)
+        p0 = jnp.full((2 * t_count, 2), 1.0 / 3.0, smoothed.dtype)
+        times = jnp.concatenate([jnp.full(t_count, -0.5, smoothed.dtype),
+                                 jnp.full(t_count, 0.5, smoothed.dtype)])
+        t1, p1, exhausted = flow_field_trace_compacted(
+            arrays.tm, tfield, times, t0, p0, config.flow_min_step,
+            config.flow_max_steps)
+    else:
+        t1, p1, exhausted = _trace_pair(arrays.tm, tfield, smoothed,
+                                        config.flow_min_step, config.flow_max_steps)
     d_blocks, rhs_t, align_err = _dataterm_from_samples(arrays, smoothed, t1, p1)
     return d_blocks, rhs_t, align_err, exhausted, (t1, p1)
 
@@ -277,14 +294,15 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
-                vpatch=None, want_resampled: bool = False):
+                vpatch=None, want_resampled: bool = False,
+                compact_trace: bool = False):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve. ``want_resampled`` additionally returns the advected per-vertex
     signals (for --debug dumps)."""
     smoothed, sm_stats = _stage_smooth(arrays, s_weight, config, vcoarse, vpatch)
     d_blocks, rhs_t, align_err, exhausted, (t1, p1) = _stage_resample(
-        arrays, tfield, smoothed, config)
+        arrays, tfield, smoothed, config, compact=compact_trace)
     resampled = _resampled_signals(arrays, smoothed, t1, p1) if want_resampled else None
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch)
@@ -795,7 +813,8 @@ class FlowProblem:
                 self.arrays, coeffs, tfield, jnp.asarray(s_weight, self.dtype),
                 jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
-                getattr(self, "vpatch", None), want_resampled=debug_dir is not None)
+                getattr(self, "vpatch", None), want_resampled=debug_dir is not None,
+                compact_trace=self.device_mesh is None)
             if level == start_level and getattr(self, "_exp_exhausted", None) is not None:
                 stats["exp_remap_exhausted"] = self._exp_exhausted
                 self._exp_exhausted = None

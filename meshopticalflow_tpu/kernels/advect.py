@@ -204,27 +204,37 @@ def _scatter_back(state, idx, sub):
 
 
 def flow_field_trace_compacted(tm, vfield, times, t0, p0, min_step,
-                               max_steps: int = 4096, phase_steps: int = 64):
+                               max_steps: int = 4096, phase_steps: int = 64,
+                               escalate: int = 16):
     """flow_field_trace with between-phase compaction of active lanes.
 
     Returns (t1, p1, exhausted_count). Bit-identical to the plain loop —
     compaction only reorders which lanes march together.
+
+    ``escalate`` handles cap stragglers (VERDICT r2 next #9): lanes still
+    active after ``max_steps`` keep marching — compacted, so the cost is
+    proportional to the few survivors — with a total budget of
+    ``escalate * max_steps`` steps, emulating the reference's effectively
+    unbounded cap (1e6, FEM.inl:905) instead of freezing lanes mid-path.
     """
     n = t0.shape[0]
+    total_budget = max_steps * max(int(escalate), 1)
     state = _trace_phase1(tm, vfield, times, t0, p0, min_step, phase_steps)
     steps_done = phase_steps
-    while steps_done < max_steps:
+    while steps_done < total_budget:
         n_active = int(jnp.sum(state["active"].astype(jnp.int32)))
         if n_active == 0:
             break
         bucket = max(8192, 1 << (n_active - 1).bit_length())
-        if bucket >= n:
-            # compaction won't shrink the problem; finish full-width
+        if bucket >= n and steps_done < max_steps:
+            # compaction won't shrink the problem; run full-width to the
+            # base cap, then fall through to compacted escalation
             state = _trace_resume(tm, vfield, times, state, min_step,
                                   max_steps - steps_done)
-            break
+            steps_done = max_steps
+            continue
         sub, idx, sub_times = _compact(state, times, bucket)
-        steps = min(max(phase_steps * 2, 128), max_steps - steps_done)
+        steps = min(max(phase_steps * 2, 128), total_budget - steps_done)
         sub = _trace_resume(tm, vfield, sub_times, sub, min_step, steps)
         state = _scatter_back(state, idx, sub)
         steps_done += steps

@@ -253,3 +253,34 @@ def test_compacted_trace_equals_plain(flat):
     assert exhausted == 0
     np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_ref))
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_ref), atol=0)
+
+
+def test_compacted_trace_escalates_past_cap(flat):
+    """VERDICT r2 next #9: lanes still marching at flow_max_steps keep going
+    in compacted batches (reference cap is effectively unbounded,
+    FEM.inl:905) instead of freezing mid-path."""
+    import numpy as np
+    from meshopticalflow_tpu.kernels.advect import flow_field_trace_compacted
+    tris, verts, mesh, tm = flat
+    t_count = tm.n_triangles
+    rng = np.random.default_rng(12)
+    vf = jnp.asarray(rng.normal(scale=1.0, size=(t_count, 2)))
+    n = 2 * t_count
+    t0 = jnp.asarray(rng.integers(0, t_count, n), jnp.int32)
+    p0 = jnp.asarray(rng.uniform(0.05, 0.4, (n, 2)))
+    times = jnp.asarray(rng.uniform(-2.0, 2.0, n))
+    # ground truth: generous cap, everything finishes
+    t_ref, p_ref = flow_field_trace(tm, vf, times, t0, p0, min_step=1e-2,
+                                    max_steps=8192)
+    # tight base cap: the plain loop WOULD freeze lanes...
+    _, _, frozen = flow_field_trace(tm, vf, times, t0, p0, min_step=1e-2,
+                                    max_steps=16, with_diagnostics=True)
+    assert int(frozen) > 0
+    # ...the escalating compacted driver finishes them all, and at the
+    # same endpoints as the generous-cap plain loop.
+    t_c, p_c, exhausted = flow_field_trace_compacted(
+        tm, vf, times, t0, p0, min_step=1e-2, max_steps=16, phase_steps=8,
+        escalate=1024)
+    assert exhausted == 0
+    np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_ref), atol=0)
