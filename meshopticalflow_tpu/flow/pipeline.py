@@ -162,7 +162,15 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
         c_vals, jnp.argmax(vcoarse.cols0 == jnp.arange(n1)[:, None],
                            axis=1)[:, None], axis=1)[:, 0]
     a2 = vpatch.m2_dense + s_weight * vpatch.k2_dense
-    return PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag, a2), b
+    c1_band = getattr(vcoarse, "_c1_band", None)
+    if c1_band is None:
+        from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
+        key = getattr(vcoarse, "_artifact_key", "")
+        c1_band = build_c1_band(pack, np.asarray(vcoarse.cols0),
+                                cache_key=(key + ".c1band") if key else "")
+        setattr(vcoarse, "_c1_band", c1_band)
+    return PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag, a2,
+                                c1_band=c1_band), b
 
 
 def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,

@@ -663,6 +663,51 @@ def _cycle_m(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t,
     return _jac_m(fine_bf, f_invd, r_t, z, omega, nu)
 
 
+def _cycle_m_exact(fine_bf, f_invd, l_blocks, band: BandedC1, pack: MGPack,
+                   r_t, omega, nu: int):
+    """Multi-rhs 2-level V-cycle with the exact banded c1 solve."""
+    z = _jac_m(fine_bf, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
+    res = r_t - _apply_multi(fine_bf, z)
+    r1 = _apply_multi(pack.p0t, res)
+    z1 = _inner1_exact(l_blocks, band, r1)
+    z = z + _apply_multi(pack.p0, z1)
+    return _jac_m(fine_bf, f_invd, r_t, z, omega, nu)
+
+
+@functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
+def _pcg_chunk_multi_banded(fine_f32_tc, fine_f32_vals, fine_bf_tc,
+                            fine_bf_vals, f_invd, l_blocks, t2b, b2t,
+                            p0_tc, p0_vals, p0t_tc, p0t_vals,
+                            x, r, p, rz, omega, nu: int, iters: int, pack_id):
+    pack = _PACKS[pack_id]
+    fine_bf = PallasEll(pack.fine_pat, fine_bf_tc, fine_bf_vals,
+                        interpret=pack.interpret)
+    fine_f32 = PallasEll(pack.fine_pat, fine_f32_tc, fine_f32_vals,
+                         interpret=pack.interpret)
+    pack = dataclasses.replace(
+        pack, p0=PallasEll(pack.p0.pattern, p0_tc, p0_vals,
+                           interpret=pack.interpret),
+        p0t=PallasEll(pack.p0t.pattern, p0t_tc, p0t_vals,
+                      interpret=pack.interpret))
+    band = _band_from_args(l_blocks, t2b, b2t)
+
+    def body(_, s):
+        x, r, p, rz_old = s
+        z = _cycle_m_exact(fine_bf, f_invd, l_blocks, band, pack, r, omega, nu)
+        rz = _dots_m(r, z)
+        beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
+        p = z + beta[None, :, None] * p
+        ap = _apply_multi(fine_f32, p)
+        pap = _dots_m(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        a_ = alpha[None, :, None]
+        return (x + a_ * p, r - a_ * ap, p, rz)
+
+    x, r, p, rz = lax.fori_loop(0, iters, body, (x, r, p, rz))
+    r2 = jnp.max(_dots_m(r, r))
+    return x, r, p, rz, r2
+
+
 @functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
 def _pcg_chunk_multi(fine_f32_tc, fine_f32_vals, fine_bf_tc, fine_bf_vals,
                      f_invd, c1_bf_tc, c1_bf_vals, c1_invd, chol2,
@@ -708,9 +753,24 @@ class PallasMG3MultiSolver:
 
     def __init__(self, pack: MGPack, fine_ell_vals, fine_diag,
                  c1_ell_vals, c1_diag, a2_dense,
-                 omega: float = 0.7, nu: int = 2):
+                 omega: float = 0.7, nu: int = 2,
+                 c1_band: Optional[BandedC1] = None):
         self.pack = pack
         self.pack_id = _register_pack(pack)
+        self.c1_band = c1_band
+        self.c1_l_blocks = None
+        if c1_band is not None:
+            from meshopticalflow_tpu.solvers.banded import (band_cholesky,
+                                                            band_revalue)
+            s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
+                                    c1_band.m, c1_band.nb, c1_band.bw)
+            dmax = float(jnp.max(jnp.abs(c1_diag)))
+            for rel in (0.0, 1e-6, 1e-4, 1e-2):
+                l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
+                                             c1_band.nb, c1_band.bw)
+                if bool(ok):
+                    self.c1_l_blocks = l_blocks
+                    break
         tc_f = jnp.asarray(pack.fine_pat.tile_cols)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
                                   pack.fine_pat.nr, pack.fine_pat.k)
@@ -763,15 +823,25 @@ class PallasMG3MultiSolver:
         r2 = b_norm2
         while done < max_iters and r2 > threshold:
             iters = min(chunk, max_iters - done)
-            x, r, p, rz, r2_dev = _pcg_chunk_multi(
-                self.fine_f32.tile_cols, self.fine_f32.vals_t,
-                self.fine_bf.tile_cols, self.fine_bf.vals_t,
-                self.f_invd, self.c1_bf.tile_cols, self.c1_bf.vals_t,
-                self.c1_invd, self.chol2,
-                pack.p0.tile_cols, pack.p0.vals_t,
-                pack.p0t.tile_cols, pack.p0t.vals_t,
-                pack.p12_idx_p, pack.p12_wt_p,
-                x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
+            if self.c1_l_blocks is not None:
+                x, r, p, rz, r2_dev = _pcg_chunk_multi_banded(
+                    self.fine_f32.tile_cols, self.fine_f32.vals_t,
+                    self.fine_bf.tile_cols, self.fine_bf.vals_t,
+                    self.f_invd, self.c1_l_blocks,
+                    self.c1_band.tile_to_band, self.c1_band.band_to_tile,
+                    pack.p0.tile_cols, pack.p0.vals_t,
+                    pack.p0t.tile_cols, pack.p0t.vals_t,
+                    x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
+            else:
+                x, r, p, rz, r2_dev = _pcg_chunk_multi(
+                    self.fine_f32.tile_cols, self.fine_f32.vals_t,
+                    self.fine_bf.tile_cols, self.fine_bf.vals_t,
+                    self.f_invd, self.c1_bf.tile_cols, self.c1_bf.vals_t,
+                    self.c1_invd, self.chol2,
+                    pack.p0.tile_cols, pack.p0.vals_t,
+                    pack.p0t.tile_cols, pack.p0t.vals_t,
+                    pack.p12_idx_p, pack.p12_wt_p,
+                    x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
             r2 = float(r2_dev)
             done += iters
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))

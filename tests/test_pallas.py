@@ -329,3 +329,66 @@ def test_pallas_mg3_banded_exact_coarse(rng):
     _, stats_v = base.solve(rhs, tol=1e-6, max_iters=200, chunk=2)
     assert int(stats.iterations) <= int(stats_v.iterations), (
         int(stats.iterations), int(stats_v.iterations))
+
+
+def test_pallas_mg3_multi_banded_exact(rng):
+    """PallasMG3MultiSolver with the banded-exact c1 solve on a real vertex
+    smoothing system (the DoG / smoothSignal solves), vs scipy per channel."""
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.flow.pipeline import FlowProblem, _vertex_pallas_solver
+    from meshopticalflow_tpu.flow.signal import _smooth_system
+    from meshopticalflow_tpu.models.coarse import (build_vertex_coarse,
+                                                   build_vertex_patch_level_from)
+    from meshopticalflow_tpu.solvers import pallas_mg as pm
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_tracked
+    from tests.conftest import make_sphere_mesh
+    import scipy.sparse as ssp
+    import scipy.sparse.linalg as spla
+
+    tris0, verts0 = make_sphere_mesh(2)
+    diag_len = float(np.linalg.norm(verts0.max(0) - verts0.min(0)))
+    uvs = np.zeros((len(tris0), 3, 2))
+    tris, verts, _, parent, bary = subdivide_tracked(tris0, verts0, uvs,
+                                                     0.3 * diag_len)
+    cfg = FlowConfig(dtype="float32", dog_weight=0.0, levels=2)
+    mesh = build_mesh(tris, vertices=verts)
+    coarse_mesh = build_mesh(tris0, vertices=verts0)
+    sig = rng.normal(size=(2, mesh.n_vertices, 3)) * 10 + 128
+    prob = FlowProblem(cfg, mesh, sig, vertices=verts)
+    vc = build_vertex_coarse(cfg, mesh, coarse_mesh, parent, bary)
+    # aggregate coarse triangles into a few patches
+    n0 = coarse_mesh.n_vertices
+    patch_ids = np.arange(coarse_mesh.n_triangles) % 5
+    vp = build_vertex_patch_level_from(cfg, vc.m0_csr, vc.k0_csr,
+                                       coarse_mesh, patch_ids)
+    import scipy.sparse as sp2
+    idx = np.asarray(vc.p0_idx)
+    wt = np.asarray(vc.p0_wt, np.float64)
+    v_f, k0 = idx.shape
+    p0 = sp2.csr_matrix((wt.ravel(), (np.repeat(np.arange(v_f), k0),
+                                      idx.ravel())), shape=(v_f, n0))
+    pack = pm.build_mg_pack(np.asarray(prob.arrays.smooth_ops.cols),
+                            np.asarray(vc.cols0), p0,
+                            np.asarray(vp.p12_idx), np.asarray(vp.p12_wt),
+                            int(vp.m2_dense.shape[0]), interpret=True)
+    setattr(vc, "_pallas_pack", pack)
+    prob.vcoarse, prob.vpatch = vc, vp
+    s_w = jnp.asarray(3e-3, jnp.float32)
+    solver, b = _vertex_pallas_solver(prob.arrays, vc, vp, s_w)
+    assert solver.c1_l_blocks is not None
+    x, stats = solver.solve(b, x0=prob.arrays.signals, tol=1e-7, max_iters=100)
+
+    sys_vals, b2, _ = _smooth_system(prob.arrays.smooth_ops,
+                                     prob.arrays.signals, s_w)
+    cols = np.asarray(prob.arrays.smooth_ops.cols)
+    n, w = cols.shape
+    a = ssp.csr_matrix((np.asarray(sys_vals, np.float64).ravel(),
+                        (np.repeat(np.arange(n), w), cols.ravel())),
+                       shape=(n, n))
+    lu = spla.splu(a.tocsc())
+    for ch in range(np.asarray(b).shape[1]):
+        x_ref = lu.solve(np.asarray(b2, np.float64)[:, ch])
+        num = np.linalg.norm(np.asarray(x, np.float64)[:, ch] - x_ref)
+        den = np.linalg.norm(x_ref) + 1e-300
+        assert num / den < 1e-4, (ch, num / den)
