@@ -95,12 +95,22 @@ def main(argv=None) -> int:
         return 1
     config = config_from_args(args)
 
+    # Multi-process runs: no-op unless a coordinator is configured
+    # (MESHFLOW_COORDINATOR / JAX_COORDINATOR_ADDRESS, parallel/distributed.py);
+    # then the pipeline shards over the GLOBAL device mesh.
+    from meshopticalflow_tpu.parallel.distributed import (global_device_mesh,
+                                                          maybe_init_distributed)
+
+    device_mesh = global_device_mesh() if maybe_init_distributed() else None
+
     from meshopticalflow_tpu.flow.pipeline import FlowProblem
 
     if args.mesh:
-        problem = FlowProblem.from_texture_inputs(args.mesh, tuple(args.inputs), config)
+        problem = FlowProblem.from_texture_inputs(args.mesh, tuple(args.inputs),
+                                                  config, device_mesh=device_mesh)
     else:
-        problem = FlowProblem.from_vertex_inputs(args.inputs[0], args.inputs[1], config)
+        problem = FlowProblem.from_vertex_inputs(args.inputs[0], args.inputs[1],
+                                                 config, device_mesh=device_mesh)
     if args.verbose:
         print(f"Vertices / Triangles: {problem.mesh.n_vertices} / {problem.mesh.n_triangles}")
     result = problem.run(verbose=args.verbose,

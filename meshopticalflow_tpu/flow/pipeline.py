@@ -654,7 +654,8 @@ class FlowProblem:
 
     @classmethod
     def from_texture_inputs(cls, mesh_path: str, texture_paths: Tuple[str, str],
-                            config: FlowConfig) -> "FlowProblem":
+                            config: FlowConfig,
+                            device_mesh=None) -> "FlowProblem":
         """Texture-pair alignment setup (WhitneyFlowViewer::Init texture
         branch, OpticalFlow.cpp:684-752 + 818).
 
@@ -717,7 +718,8 @@ class FlowProblem:
         will_attach = coarse is not None and config.use_multigrid
         problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
                       tri_uvs=uvs, textures=np.stack([tex0, tex1]),
-                      cache_key=geo_key, defer_signals=will_attach)
+                      cache_key=geo_key, defer_signals=will_attach,
+                      device_mesh=device_mesh)
         problem.init_profile.update(geom=_geom_s, bake=_bake_s, raster=_raster_s)
         if will_attach:
             _t0 = time.time()
@@ -726,7 +728,8 @@ class FlowProblem:
         return problem
 
     @classmethod
-    def from_vertex_inputs(cls, path0: str, path1: str, config: FlowConfig) -> "FlowProblem":
+    def from_vertex_inputs(cls, path0: str, path1: str, config: FlowConfig,
+                           device_mesh=None) -> "FlowProblem":
         """Colored-PLY-pair setup (OpticalFlow.cpp:753-780): identical
         connectivity required; geometry is the average of the two."""
         m0 = read_triangle_mesh(path0)
@@ -740,7 +743,8 @@ class FlowProblem:
         verts = (m0.vertices + m1.vertices) * 0.5
         mesh = build_mesh(m0.faces, vertices=verts)
         return cls(config, mesh, np.stack([m0.colors, m1.colors]), vertices=verts,
-                   vertex_colors=np.stack([m0.colors, m1.colors]))
+                   vertex_colors=np.stack([m0.colors, m1.colors]),
+                   device_mesh=device_mesh)
 
     def _exp_remap_texels(self) -> None:
         """Push out-of-triangle texels through the geodesic exp

@@ -49,16 +49,52 @@ def sphere_signal_pair(subdiv: int = 2, angle: float = 0.12):
     return tris, verts, f(verts), f(verts @ rot.T)
 
 
+def _sphere_signals(verts: np.ndarray, angle: float):
+    def f(p):
+        return np.stack([
+            128 + 100 * np.sin(3 * p[:, 0]) * np.cos(2 * p[:, 1]),
+            128 + 100 * np.cos(3 * p[:, 1] + 1) * p[:, 2],
+            128 + 100 * np.sin(2 * p[:, 2] + 0.5),
+        ], axis=1)
+
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return f(verts), f(verts @ rot.T)
+
+
 def synthetic_sphere_problem(config=None, subdiv: int = 2, angle: float = 0.12,
-                             device_mesh=None):
-    """A ready FlowProblem on a synthetic rotated-signal sphere pair."""
+                             device_mesh=None, hierarchy: bool = False):
+    """A ready FlowProblem on a synthetic rotated-signal sphere pair.
+
+    ``hierarchy=True`` builds the fine mesh by tracked subdivision of the
+    subdiv-level sphere and attaches the geometric coarse spaces — the
+    multigrid + patch + refinement production configuration (the same
+    solver stack as the 2K bench), so sharded tests and the driver dryrun
+    exercise the solver users actually run (VERDICT r2 next #4)."""
     from meshopticalflow_tpu.config import FlowConfig
     from meshopticalflow_tpu.flow.pipeline import FlowProblem
     from meshopticalflow_tpu.geometry.mesh import build_mesh
 
     config = config or FlowConfig(dog_weight=0.0, levels=4)
-    tris, verts, sig0, sig1 = sphere_signal_pair(subdiv, angle)
+    if not hierarchy:
+        tris, verts, sig0, sig1 = sphere_signal_pair(subdiv, angle)
+        mesh = build_mesh(tris, vertices=verts)
+        return FlowProblem(config, mesh, np.stack([sig0, sig1]), vertices=verts,
+                           vertex_colors=np.stack([sig0, sig1]),
+                           device_mesh=device_mesh)
+
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_tracked
+
+    tris0, verts0 = octa_sphere(subdiv)
+    uvs0 = np.zeros((len(tris0), 3, 2))
+    e0 = verts0[tris0[:, 0]] - verts0[tris0[:, 1]]
+    edge_len = 0.6 * float(np.median(np.linalg.norm(e0, axis=1)))
+    tris, verts, _, parent, bary = subdivide_tracked(tris0, verts0, uvs0,
+                                                     edge_len)
+    sig0, sig1 = _sphere_signals(verts, angle)
     mesh = build_mesh(tris, vertices=verts)
-    return FlowProblem(config, mesh, np.stack([sig0, sig1]), vertices=verts,
-                       vertex_colors=np.stack([sig0, sig1]),
-                       device_mesh=device_mesh)
+    problem = FlowProblem(config, mesh, np.stack([sig0, sig1]), vertices=verts,
+                          vertex_colors=np.stack([sig0, sig1]),
+                          device_mesh=device_mesh, defer_signals=True)
+    problem.attach_coarse_space(tris0, verts0, parent, bary)
+    return problem

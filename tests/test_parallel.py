@@ -83,3 +83,77 @@ def test_production_run_sharded_matches_single_device():
                                atol=1e-8)
     for a, b in zip(res_solo.metrics, res_shard.metrics):
         assert abs(a["alignment_error"] - b["alignment_error"]) < 1e-6
+
+
+def test_production_run_sharded_full_config_matches():
+    """VERDICT r2 next #4: the sharded trajectory test must run the SAME
+    solver stack as the 2K bench — multigrid + patch coarsest + iterative
+    refinement + dogWeight 1 — not the plain-PCG configuration."""
+    import numpy as np
+    from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode
+    from meshopticalflow_tpu.parallel.sharding import make_device_mesh
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, levels=3, dtype="float64",
+                     dog_weight=1.0, cg_tol=1e-10, cg_max_iters=3000,
+                     artifact_cache=False)
+    solo = synthetic_sphere_problem(cfg, subdiv=2, hierarchy=True)
+    assert solo.coarse is not None and solo.patch is not None, \
+        "hierarchy must attach the full MG stack"
+    res_solo = solo.run()
+    assert all(m["flow_res"] < 1e-6 for m in res_solo.metrics)
+
+    mesh = make_device_mesh(8)
+    shard = synthetic_sphere_problem(cfg, subdiv=2, hierarchy=True,
+                                     device_mesh=mesh)
+    assert shard.coarse is not None and shard.patch is not None
+    res_shard = shard.run()
+
+    np.testing.assert_allclose(np.asarray(shard.tfield), np.asarray(solo.tfield),
+                               atol=1e-8)
+    for a, b in zip(res_solo.metrics, res_shard.metrics):
+        assert abs(a["alignment_error"] - b["alignment_error"]) < 1e-6
+
+
+def test_distributed_init_noop_without_coordinator(monkeypatch):
+    """maybe_init_distributed is a safe no-op in single-process runs and
+    reads the documented env contract (parallel/distributed.py)."""
+    from meshopticalflow_tpu.parallel import distributed as dist
+
+    for var in ("MESHFLOW_COORDINATOR", "JAX_COORDINATOR_ADDRESS",
+                "MESHFLOW_DIST_AUTO"):
+        monkeypatch.delenv(var, raising=False)
+    dist._INITIALIZED = False
+    assert dist.maybe_init_distributed() is False
+    # the global mesh helper still works single-process
+    mesh = dist.global_device_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_texture_cli_runs_sharded(tmp_path):
+    """from_texture_inputs accepts a device mesh (the multi-process CLI
+    path) and runs the full texture pipeline sharded over 8 devices."""
+    import numpy as np
+    from PIL import Image
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.flow.pipeline import FlowProblem
+    from meshopticalflow_tpu.parallel.sharding import make_device_mesh
+
+    mesh_path = "/root/reference/Example/mesh.ply"
+    rng = np.random.default_rng(0)
+    paths = []
+    for name in ("a", "b"):
+        img = Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                           dtype=np.uint8).astype(np.uint8))
+        p = str(tmp_path / f"{name}.png")
+        img.save(p)
+        paths.append(p)
+    cfg = FlowConfig(levels=2, dtype="float64", subdivide_edge_length=0.0,
+                     dog_weight=0.0, cg_max_iters=200, artifact_cache=False)
+    mesh8 = make_device_mesh(8)
+    prob = FlowProblem.from_texture_inputs(mesh_path, tuple(paths), cfg,
+                                           device_mesh=mesh8)
+    res = prob.run()
+    out = prob.advected_textures()
+    assert np.isfinite(out).all()
+    assert len(res.metrics) == 2
