@@ -96,6 +96,66 @@ def _metric_dot(g, a, b):
     return jnp.einsum("na,nab,nb->n", a, g, b)
 
 
+def _metric_dot_sym(g3, a, b):
+    """v^T g w with g given as its 3 unique entries (g00, g01, g11)."""
+    return (g3[:, 0] * a[:, 0] * b[:, 0]
+            + g3[:, 1] * (a[:, 0] * b[:, 1] + a[:, 1] * b[:, 0])
+            + g3[:, 2] * a[:, 1] * b[:, 1])
+
+
+def _fused_march_table(tm: TraceMesh, vfield: Optional[jnp.ndarray] = None,
+                       ce: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """ONE (3T, 16) row per half-edge with everything a march step reads.
+
+    XLA:TPU gathers cost per ROW fetched, not per byte (measured ~0.6 GB/s
+    effective for narrow rows on this backend), so the 5 separate table
+    gathers per step (opp, xform linear, xform const, metric, field) fold
+    into a single 64-byte row fetch — ~5x fewer gather rows on the hot
+    kernel. Row layout (dtype of the mesh tables):
+
+        [0]      opp (int32 bit-pattern in f32; plain value in f64)
+        [1:5]    xform_linear (row-major 2x2)
+        [5:7]    xform_const
+        [7:10]   per-triangle metric (g00, g01, g11)
+        [10:12]  per-triangle field value (flow trace)        [vfield mode]
+        [10:13]  signed Whitney half-edge coefficients        [ce mode]
+        [13:17]  per-triangle inverse metric (full 2x2)       [ce mode]
+
+    The triangle-level entries are replicated into each of its 3 edge rows
+    so the step's edge index e = 3t + exit_edge addresses everything.
+    """
+    t_count = tm.n_triangles
+    dtype = tm.g.dtype
+    if dtype == jnp.float32:
+        opp_bits = lax.bitcast_convert_type(tm.opp, jnp.float32)
+    else:
+        # f64 paths (CPU oracle runs): int32 is exact as a value.
+        opp_bits = tm.opp.astype(dtype)
+    lin = tm.xform_linear.reshape(3 * t_count, 4).astype(dtype)
+    const = tm.xform_const.reshape(3 * t_count, 2).astype(dtype)
+    g3 = jnp.stack([tm.g[:, 0, 0], tm.g[:, 0, 1], tm.g[:, 1, 1]], -1)
+    cols = [opp_bits[:, None], lin, const, jnp.repeat(g3, 3, axis=0)]
+    if ce is not None:
+        # g_inv is NOT exactly symmetric (host np.linalg.inv), so keep all
+        # 4 entries; rows widen to 20 (still one gather).
+        ce_t = ce.reshape(t_count, 3).astype(dtype)
+        gi4 = tm.g_inv.reshape(t_count, 4).astype(dtype)
+        cols += [jnp.repeat(ce_t, 3, axis=0), jnp.repeat(gi4, 3, axis=0),
+                 jnp.zeros((3 * t_count, 3), dtype)]
+    else:
+        vf = jnp.zeros((t_count, 2), dtype) if vfield is None \
+            else vfield.astype(dtype)
+        cols += [jnp.repeat(vf, 3, axis=0),
+                 jnp.zeros((3 * t_count, 4), dtype)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _row_opp(rows: jnp.ndarray) -> jnp.ndarray:
+    if rows.dtype == jnp.float32:
+        return lax.bitcast_convert_type(rows[:, 0], jnp.int32)
+    return rows[:, 0].astype(jnp.int32)
+
+
 def flow_field_trace(
     tm: TraceMesh,
     vfield: jnp.ndarray,        # (T, 2) per-triangle field (chart coordinates)
@@ -148,6 +208,8 @@ def flow_field_trace(
             count=jnp.asarray(0, jnp.int32),
         )
 
+    fused = _fused_march_table(tm, vfield)
+
     def cond(s):
         return (s["count"] < max_steps) & jnp.any(s["active"])
 
@@ -157,7 +219,11 @@ def flow_field_trace(
         step, idx = _edge_exit(pp, v, s["in_edge"], eps)
         active &= idx >= 0
 
-        g_t = tm.g[t]
+        # ONE fused-row gather per step (see _fused_march_table).
+        e = t * 3 + jnp.maximum(idx, 0)
+        rows = fused[e]
+        g_t = jnp.stack([rows[:, 7:9],
+                         jnp.stack([rows[:, 8], rows[:, 9]], -1)], -2)
         vgv = _metric_dot(g_t, v, v)
         sq_step = vgv * step * step
         update_vector = (min_step > 0) & (sq_step > s["step_left"] * s["step_left"])
@@ -172,7 +238,7 @@ def flow_field_trace(
 
         # Re-sample branch (no edge crossing): stop on direction reversal
         # (FEM.inl:957-968), else reset to the local field value.
-        vf_here = vfield[t]
+        vf_here = rows[:, 10:12]
         reversal = _metric_dot(g_t, v, vf_here) * direction < 0
         resample = active & ~finish & update_vector
         new_v = jnp.where(resample[:, None], vf_here * direction[:, None], v)
@@ -181,11 +247,10 @@ def flow_field_trace(
 
         # Crossing branch (FEM.inl:970-989).
         cross = active & ~finish & ~update_vector
-        e = t * 3 + jnp.maximum(idx, 0)
-        opp_e = tm.opp[e]
+        opp_e = _row_opp(rows)
         hit_boundary = cross & (opp_e < 0)
-        lin = tm.xform_linear[e]
-        const = tm.xform_const[e]
+        lin = rows[:, 1:5].reshape(-1, 2, 2)
+        const = rows[:, 5:7]
         crossed_p = jnp.einsum("nab,nb->na", lin, new_p) + const
         crossed_v = jnp.einsum("nab,nb->na", lin, new_v)
         do_cross = cross & (opp_e >= 0)
@@ -271,6 +336,8 @@ def whitney_flow_trace(
         count=jnp.asarray(0, jnp.int32),
     )
 
+    fused = _fused_march_table(tm, ce=ce)
+
     def cond(s):
         return (s["count"] < max_steps) & jnp.any(s["active"])
 
@@ -280,7 +347,11 @@ def whitney_flow_trace(
         step, idx = _edge_exit(pp, v, s["in_edge"], eps)
         active &= idx >= 0
 
-        g_t = tm.g[t]
+        # ONE fused-row gather per step (see _fused_march_table).
+        e = t * 3 + jnp.maximum(idx, 0)
+        rows = fused[e]
+        g_t = jnp.stack([rows[:, 7:9],
+                         jnp.stack([rows[:, 8], rows[:, 9]], -1)], -2)
         vgv = _metric_dot(g_t, v, v)
         sq_step = vgv * step * step
         update_vector = (min_step > 0) & (sq_step > s["step_left"] * s["step_left"])
@@ -292,7 +363,13 @@ def whitney_flow_trace(
         new_p = pp + v * adv[:, None]
         new_ft = ft - adv
 
-        vf_here = _whitney_vector(tm, ce, t, new_p)
+        # Whitney field from the row's coefficients + inverse metric
+        # (GetWhitneyVector, FEM.inl:1008-1014).
+        c0, c1, c2 = rows[:, 10], rows[:, 11], rows[:, 12]
+        u = c2 * (1 - new_p[:, 1]) - new_p[:, 1] * (c1 + c0)
+        w = new_p[:, 0] * (c0 + c2) - (1 - new_p[:, 0]) * c1
+        g_inv_t = rows[:, 13:17].reshape(-1, 2, 2)
+        vf_here = jnp.einsum("nab,nb->na", g_inv_t, jnp.stack([u, w], -1))
         reversal = _metric_dot(g_t, v, vf_here) * direction < 0
         resample = active & ~finish & update_vector
         new_v = jnp.where(resample[:, None], vf_here * direction[:, None], v)
@@ -300,11 +377,10 @@ def whitney_flow_trace(
         new_in_edge = jnp.where(resample, -1, s["in_edge"])
 
         cross = active & ~finish & ~update_vector
-        e = t * 3 + jnp.maximum(idx, 0)
-        opp_e = tm.opp[e]
+        opp_e = _row_opp(rows)
         hit_boundary = cross & (opp_e < 0)
-        lin = tm.xform_linear[e]
-        const = tm.xform_const[e]
+        lin = rows[:, 1:5].reshape(-1, 2, 2)
+        const = rows[:, 5:7]
         crossed_p = jnp.einsum("nab,nb->na", lin, new_p) + const
         crossed_v = jnp.einsum("nab,nb->na", lin, new_v)
         do_cross = cross & (opp_e >= 0)
@@ -565,6 +641,7 @@ def exp_map(
 
     state = dict(t=t, p=p, v=v, in_edge=in_edge + t * 0, active=active,
                  count=jnp.asarray(0, jnp.int32))
+    fused = _fused_march_table(tm)
 
     def cond(s):
         return (s["count"] < max_steps) & jnp.any(s["active"])
@@ -580,9 +657,11 @@ def exp_map(
         new_v = jnp.where(finish[:, None], jnp.zeros_like(v), v * (1 - step)[:, None])
 
         e = t * 3 + jnp.maximum(idx, 0)
-        opp_e = tm.opp[e]
+        rows = fused[e]
+        opp_e = _row_opp(rows)
         cross = active & ~finish & (opp_e >= 0)
-        lin, const = tm.xform_linear[e], tm.xform_const[e]
+        lin = rows[:, 1:5].reshape(-1, 2, 2)
+        const = rows[:, 5:7]
         new_t = jnp.where(cross, opp_e // 3, t)
         crossed_p = jnp.einsum("nab,nb->na", lin, new_p) + const
         crossed_v = jnp.einsum("nab,nb->na", lin, new_v)
