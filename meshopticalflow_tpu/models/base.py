@@ -284,8 +284,6 @@ def update_optical_flow(
             # is static per problem — built once, cached on the patch level.
             from meshopticalflow_tpu.solvers.pallas_mg import (
                 PallasMG3Solver, build_mg_pack)
-            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
-                                    vf_smooth_weight, patch.s2_dense)
             pack = getattr(patch, "_pallas_pack", None)
             if pack is None:
                 import numpy as np
@@ -294,7 +292,7 @@ def update_optical_flow(
                                      coarse.p0,
                                      np.asarray(patch.p12_idx),
                                      np.asarray(patch.p12_wt),
-                                     int(a2.shape[0]),
+                                     int(patch.s2_dense.shape[0]),
                                      cache_key=getattr(patch, "_artifact_key", ""))
                 setattr(patch, "_pallas_pack", pack)
             c_diag = jnp.take_along_axis(
@@ -309,8 +307,21 @@ def update_optical_flow(
                         pack, np.asarray(coarse.coarse_dev.ell_cols),
                         cache_key=(key + ".c1band") if key else "")
                     setattr(patch, "_c1_band", c1_band)
-            solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag, a2,
-                                     cheb_k=mg_cheb_k, c1_band=c1_band)
+            solver = None
+            if c1_band is not None:
+                # With the exact banded c1 the dense patch coarsest is never
+                # touched — skip assembling/uploading it entirely.
+                solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
+                                         None, cheb_k=mg_cheb_k,
+                                         c1_band=c1_band)
+                if solver.c1_l_blocks is None:
+                    solver = None   # factorization breakdown: fall back
+            if solver is None:
+                a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
+                                        scale, vf_smooth_weight,
+                                        patch.s2_dense)
+                solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
+                                         a2, cheb_k=mg_cheb_k)
         elif patch is not None:
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,

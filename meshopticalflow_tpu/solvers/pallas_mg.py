@@ -550,10 +550,18 @@ class PallasMG3Solver:
         inv_1 = jnp.where(c1_diag != 0, 1.0 / jnp.where(c1_diag != 0,
                                                         c1_diag, 1.0), 0.0)
         self.c1_invd = to_tiles(inv_1.astype(dtype), pack.c1_perm, pack.c1_nr)
-        n2 = a2_dense.shape[0]
-        eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
-        self.chol2 = jnp.linalg.cholesky(
-            a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
+        # The dense patch coarsest is only needed by the 3-level fallback
+        # cycle; with the banded-exact c1 active, callers skip building and
+        # uploading it entirely (a2_dense=None).
+        self.chol2 = None
+        if a2_dense is not None:
+            a2_dense = jnp.asarray(a2_dense)
+            n2 = a2_dense.shape[0]
+            eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
+            self.chol2 = jnp.linalg.cholesky(
+                a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
+        if self.c1_l_blocks is None and self.chol2 is None:
+            raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, dtype)
         self.nu = nu
         self._cheb_bounds = None
@@ -793,10 +801,15 @@ class PallasMG3MultiSolver:
                                                         c1_diag, 1.0), 0.0)
         self.c1_invd = to_tiles(inv_1.astype(jnp.float32), pack.c1_perm,
                                 pack.c1_nr)[:, None, :]
-        n2 = a2_dense.shape[0]
-        eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
-        self.chol2 = jnp.linalg.cholesky(
-            a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
+        self.chol2 = None
+        if a2_dense is not None:
+            a2_dense = jnp.asarray(a2_dense)
+            n2 = a2_dense.shape[0]
+            eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
+            self.chol2 = jnp.linalg.cholesky(
+                a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
+        if self.c1_l_blocks is None and self.chol2 is None:
+            raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, jnp.float32)
         self.nu = nu
 
