@@ -88,8 +88,11 @@ def main():
     time.sleep(cooldown)
 
     results = []
-    for _ in range(draws):
+    for i in range(draws):
         results.append(one_draw(paths, size, levels))
+        print(f"[bench] draw {i + 1}/{draws}: "
+              f"{json.dumps(results[-1], default=float)}", file=sys.stderr,
+              flush=True)
 
     rates = sorted(d["e2e_texels_per_sec"] for d in results)
     value = statistics.median(rates)
