@@ -252,3 +252,71 @@ class BandedCholeskySolver:
         pat = self.pat
         return band_solve(self.l_blocks, self.perm, self.inv_perm, b,
                           pat.nb, pat.bw, pat.n)
+
+
+# ----------------------------------------------------------------------------
+# Banded-preconditioned PCG: the shift-invert inner solver
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iters", "n", "nb", "bw"))
+def _bpcg_chunk(cols, vals, l_blocks, perm, inv_perm, x, r, z, p, rz,
+                iters: int, n: int, nb: int, bw: int):
+    def matvec(v):
+        return jnp.sum(vals * v[cols], axis=1)
+
+    def body(_, s):
+        x, r, z, p, rz = s
+        ap = matvec(p)
+        pap = jnp.vdot(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = band_solve(l_blocks, perm, inv_perm, r, nb, bw, n).astype(r.dtype)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new)
+
+    x, r, z, p, rz = lax.fori_loop(0, iters, body, (x, r, z, p, rz))
+    return x, r, z, p, rz, jnp.vdot(r, r)
+
+
+def ell_pcg_banded(cols, vals, solver: "BandedCholeskySolver", b,
+                   tol: float = 1e-10, max_iters: int = 400,
+                   chunk: int = 16):
+    """PCG on a padded-ELL system preconditioned by a banded Cholesky
+    factorization of (a float32 approximation of) the same system.
+
+    This is the TPU-native form of the reference's amortized shift-invert
+    inner solve (EigenvalueSolver.h:176-217 factorizes S - sigma*B once with
+    SimplicialLDLT and back-substitutes per Lanczos step): the factorization
+    is built ONCE per operator, each application costs a handful of PCG
+    iterations (kappa of the preconditioned system is ~1 + kappa(A)*eps_f32),
+    and the iteration recovers whatever accuracy the f32 factorization lost.
+    """
+    import numpy as np
+
+    pat = solver.pat
+    b2 = float(jnp.vdot(b, b))
+    if b2 == 0:
+        from meshopticalflow_tpu.solvers.cg import CGStats
+        return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                          jnp.asarray(0.0, b.dtype))
+    x = jnp.zeros_like(b)
+    r = b
+    z = solver.solve(r).astype(b.dtype)
+    p = z
+    rz = jnp.vdot(r, z)
+    threshold = (tol ** 2) * b2
+    done = 0
+    r2 = b2
+    while done < max_iters and r2 > threshold:
+        iters = min(chunk, max_iters - done)
+        x, r, z, p, rz, r2_dev = _bpcg_chunk(
+            cols, vals, solver.l_blocks, solver.perm, solver.inv_perm,
+            x, r, z, p, rz, iters, pat.n, pat.nb, pat.bw)
+        r2 = float(r2_dev)
+        done += iters
+    from meshopticalflow_tpu.solvers.cg import CGStats
+    rel = float(np.sqrt(max(r2, 0.0) / b2))
+    return x, CGStats(jnp.asarray(done, jnp.int32), jnp.asarray(rel, b.dtype))
