@@ -89,10 +89,6 @@ def config_from_args(args) -> FlowConfig:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.out:
-        print("[ERROR] headless mode requires --out (the GLUT viewer is not part "
-              "of the TPU rebuild)", file=sys.stderr)
-        return 1
     config = config_from_args(args)
 
     # Multi-process runs: no-op unless a coordinator is configured
@@ -113,6 +109,14 @@ def main(argv=None) -> int:
                                                  config, device_mesh=device_mesh)
     if args.verbose:
         print(f"Vertices / Triangles: {problem.mesh.n_vertices} / {problem.mesh.n_triangles}")
+    if not args.out:
+        # Reference behavior: no --out launches the viewer
+        # (OpticalFlow.cpp:1072-1092). The TPU rebuild's substitute
+        # (viz/surface.py) steps levels interactively under a display and
+        # writes per-level frames headlessly.
+        from meshopticalflow_tpu.viz import view_flow
+        view_flow(problem, out_dir=".")
+        return 0
     result = problem.run(verbose=args.verbose,
                          debug_dir="." if args.debug else None)
     problem.write_output(args.out)

@@ -1,0 +1,1 @@
+from meshopticalflow_tpu.viz.surface import Camera, render_surface, view_flow
