@@ -140,7 +140,7 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
     from meshopticalflow_tpu.solvers.pallas_mg import (PallasMG3MultiSolver,
                                                        build_mg_pack)
 
-    pack = getattr(vcoarse, "_pallas_pack", None)
+    pack = vcoarse.pallas_pack
     if pack is None:
         idx = np.asarray(vcoarse.p0_idx)
         wt = np.asarray(vcoarse.p0_wt, np.float64)
@@ -153,21 +153,21 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
                              np.asarray(vpatch.p12_idx),
                              np.asarray(vpatch.p12_wt),
                              int(vpatch.m2_dense.shape[0]),
-                             cache_key=getattr(vcoarse, "_artifact_key", ""))
-        setattr(vcoarse, "_pallas_pack", pack)
+                             cache_key=vcoarse.artifact_key)
+        vcoarse.pallas_pack = pack
     sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
     c_vals = vcoarse.m0_vals + s_weight * vcoarse.k0_vals
     n1 = vcoarse.cols0.shape[0]
     c_diag = jnp.take_along_axis(
         c_vals, jnp.argmax(vcoarse.cols0 == jnp.arange(n1)[:, None],
                            axis=1)[:, None], axis=1)[:, 0]
-    c1_band = getattr(vcoarse, "_c1_band", None)
+    c1_band = vcoarse.c1_band
     if c1_band is None:
         from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
-        key = getattr(vcoarse, "_artifact_key", "")
+        key = vcoarse.artifact_key
         c1_band = build_c1_band(pack, np.asarray(vcoarse.cols0),
                                 cache_key=(key + ".c1band") if key else "")
-        setattr(vcoarse, "_c1_band", c1_band)
+        vcoarse.c1_band = c1_band
     solver = PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag, None,
                                   c1_band=c1_band)
     if solver.c1_l_blocks is None:   # factorization breakdown: fall back
@@ -658,11 +658,10 @@ class FlowProblem:
                 p12_wt=jnp.asarray(d["p12_wt"], dt))
             if use_cache:
                 # Lets the Pallas solvers serve their pattern packs from disk.
-                setattr(self.patch, "_artifact_key",
-                        key_of("mgpack", self._cache_key, int(cfg.vf_mode),
-                               int(cfg.connection_mode), cfg.divergence_free))
-                setattr(self.vcoarse, "_artifact_key",
-                        key_of("vmgpack", self._cache_key))
+                self.patch.artifact_key = key_of(
+                    "mgpack", self._cache_key, int(cfg.vf_mode),
+                    int(cfg.connection_mode), cfg.divergence_free)
+                self.vcoarse.artifact_key = key_of("vmgpack", self._cache_key)
             self.vpatch = VertexPatchLevel(
                 m2_dense=as_dev(d["vp_m2"]),
                 k2_dense=as_dev(d["vp_k2"]),

@@ -284,7 +284,7 @@ def update_optical_flow(
             # is static per problem — built once, cached on the patch level.
             from meshopticalflow_tpu.solvers.pallas_mg import (
                 PallasMG3Solver, build_mg_pack)
-            pack = getattr(patch, "_pallas_pack", None)
+            pack = patch.pallas_pack
             if pack is None:
                 import numpy as np
                 pack = build_mg_pack(np.asarray(basis.ell_cols),
@@ -293,20 +293,20 @@ def update_optical_flow(
                                      np.asarray(patch.p12_idx),
                                      np.asarray(patch.p12_wt),
                                      int(patch.s2_dense.shape[0]),
-                                     cache_key=getattr(patch, "_artifact_key", ""))
-                setattr(patch, "_pallas_pack", pack)
+                                     cache_key=patch.artifact_key)
+                patch.pallas_pack = pack
             c_diag = jnp.take_along_axis(
                 c_vals, coarse.coarse_dev.diag_slot[:, None], axis=1)[:, 0]
             c1_band = None
             if mg_coarse_exact:
                 from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
-                c1_band = getattr(patch, "_c1_band", None)
+                c1_band = patch.c1_band
                 if c1_band is None:
-                    key = getattr(patch, "_artifact_key", "")
+                    key = patch.artifact_key
                     c1_band = build_c1_band(
                         pack, np.asarray(coarse.coarse_dev.ell_cols),
                         cache_key=(key + ".c1band") if key else "")
-                    setattr(patch, "_c1_band", c1_band)
+                    patch.c1_band = c1_band
             solver = None
             if c1_band is not None:
                 # With the exact banded c1 the dense patch coarsest is never
@@ -332,9 +332,9 @@ def update_optical_flow(
             # step's ELL system values. The pattern packs are static —
             # built once and cached on the patch level.
             fine_bsr = _tiled_operator(basis.ell_cols, sys_vals,
-                                       patch, "_flow_bsr")
+                                       patch, "flow_bsr")
             c1_bsr = _tiled_operator(coarse.coarse_dev.ell_cols, c_vals,
-                                     patch, "_flow_bsr_c1")
+                                     patch, "flow_bsr_c1")
             solver = ThreeLevelSolver(basis.ell_cols, sys_vals, diag,
                                       coarse.coarse_dev.ell_cols, c_vals,
                                       coarse.p0_idx_dev, coarse.p0_wt_dev,

@@ -198,6 +198,10 @@ class VertexCoarse:
     p0_wt: "jnp.ndarray"
     m0_csr: object = None     # host Galerkin operators (for deeper levels)
     k0_csr: object = None
+    # runtime caches (lazily built, problem-lifetime):
+    pallas_pack: object = None
+    c1_band: object = None
+    artifact_key: str = ""
 
 
 def build_vertex_coarse(config, fine_mesh: HostMesh, coarse_mesh: HostMesh,
@@ -254,13 +258,25 @@ def build_vertex_coarse(config, fine_mesh: HostMesh, coarse_mesh: HostMesh,
 
 @dataclasses.dataclass
 class PatchLevel:
-    """Third (densest) multigrid level for the flow basis (models/patches.py)."""
+    """Third (densest) multigrid level for the flow basis (models/patches.py).
+
+    The trailing fields are EXPLICIT per-problem runtime caches, populated
+    lazily by the solvers (update_optical_flow): the static Pallas pattern
+    pack, the banded c1 layout, the RCM-tiled operator packs, and the disk
+    artifact key. They are declared here (not setattr'd ad hoc) so the
+    dataclass owns its full state."""
 
     q2_idx: "jnp.ndarray"     # (T_f, K2) int32 composed fine-triangle gather
     q2_wt: "jnp.ndarray"      # (T_f, 2, K2)
     s2_dense: "jnp.ndarray"   # (n2, n2) Galerkin smoothness, dense
     p12_idx: "jnp.ndarray"    # (n1, K12) int32 coarse->patch transfer
     p12_wt: "jnp.ndarray"
+    # runtime caches (lazily built, problem-lifetime):
+    pallas_pack: object = None      # solvers.pallas_mg.MGPack
+    c1_band: object = None          # solvers.pallas_mg.BandedC1
+    flow_bsr: object = None         # models.base._tiled_operator pack
+    flow_bsr_c1: object = None
+    artifact_key: str = ""
 
 
 @dataclasses.dataclass

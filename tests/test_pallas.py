@@ -372,7 +372,7 @@ def test_pallas_mg3_multi_banded_exact(rng):
                             np.asarray(vc.cols0), p0,
                             np.asarray(vp.p12_idx), np.asarray(vp.p12_wt),
                             int(vp.m2_dense.shape[0]), interpret=True)
-    setattr(vc, "_pallas_pack", pack)
+    vc.pallas_pack = pack
     prob.vcoarse, prob.vpatch = vc, vp
     s_w = jnp.asarray(3e-3, jnp.float32)
     solver, b = _vertex_pallas_solver(prob.arrays, vc, vp, s_w)
