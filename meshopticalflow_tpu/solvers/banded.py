@@ -109,12 +109,21 @@ def build_band_pattern(ell_cols: np.ndarray, nb: int = 128,
 # Device kernels
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("m", "nb", "bw"))
-def band_revalue(slots, ell_vals, m: int, nb: int, bw: int):
-    """Scatter padded-ELL values into the (m, nb+bw, nb) band blocks."""
+@functools.partial(jax.jit, static_argnames=("m", "nb", "bw", "n"))
+def band_revalue(slots, ell_vals, m: int, nb: int, bw: int, n: int = -1):
+    """Scatter padded-ELL values into the (m, nb+bw, nb) band blocks.
+
+    Rows beyond ``n`` (block padding when n % nb != 0) get a UNIT diagonal:
+    they are decoupled identity equations, so the zero-shift Cholesky
+    succeeds instead of breaking down on a zero pivot and escalating."""
     flat = jnp.zeros(m * (nb + bw) * nb + 1, jnp.float32)
     flat = flat.at[slots].add(ell_vals.astype(jnp.float32).ravel())
-    return flat[:-1].reshape(m, nb + bw, nb)
+    blocks = flat[:-1].reshape(m, nb + bw, nb)
+    if n >= 0 and m * nb > n:
+        rows = (jnp.arange(m)[:, None] * nb + jnp.arange(nb)[None, :]) >= n
+        eye = jnp.eye(nb, dtype=jnp.float32)
+        blocks = blocks.at[:, :nb, :].add(rows[:, None, :] * eye[None])
+    return blocks
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "bw"))
@@ -235,7 +244,8 @@ class BandedCholeskySolver:
         escalation reaches PD-ness even for indefinite inputs whose diagonal
         is tiny; SPD systems take the rel=0.0 first try."""
         pat = self.pat
-        s_blocks = band_revalue(self.slots, ell_vals, pat.m, pat.nb, pat.bw)
+        s_blocks = band_revalue(self.slots, ell_vals, pat.m, pat.nb,
+                                pat.bw, pat.n)
         dmax = float(jnp.max(jnp.abs(ell_vals)))
         for rel in rel_shifts:
             l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),

@@ -519,7 +519,8 @@ class PallasMG3Solver:
             from meshopticalflow_tpu.solvers.banded import (band_cholesky,
                                                             band_revalue)
             s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
-                                    c1_band.m, c1_band.nb, c1_band.bw)
+                                    c1_band.m, c1_band.nb, c1_band.bw,
+                                    c1_band.n1)
             dmax = float(jnp.max(jnp.abs(c1_diag)))
             for rel in (0.0, 1e-6, 1e-4, 1e-2):
                 l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
@@ -771,7 +772,8 @@ class PallasMG3MultiSolver:
             from meshopticalflow_tpu.solvers.banded import (band_cholesky,
                                                             band_revalue)
             s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
-                                    c1_band.m, c1_band.nb, c1_band.bw)
+                                    c1_band.m, c1_band.nb, c1_band.bw,
+                                    c1_band.n1)
             dmax = float(jnp.max(jnp.abs(c1_diag)))
             for rel in (0.0, 1e-6, 1e-4, 1e-2):
                 l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
