@@ -56,6 +56,12 @@ def compare(ref_dir="/tmp/parity2k", ours_dir="/tmp/parity2k/ours"):
     out["result_frac_within_1"] = float(np.mean(
         np.abs(ref_png[..., :3] - our_png[..., :3]) <= 1.0))
 
+    # The two subdivision implementations enumerate the midpoint vertices in
+    # different orders, so align the dumps GEOMETRICALLY (the positions are
+    # the same f64 midpoints) before comparing the advected signals.
+    from scipy.spatial import cKDTree
+
+    match = None
     per_level = {}
     for lvl in range(10):
         errs = {}
@@ -66,8 +72,12 @@ def compare(ref_dir="/tmp/parity2k", ours_dir="/tmp/parity2k/ours"):
                 continue
             r = read_triangle_mesh(rp)
             o = read_triangle_mesh(op)
+            if match is None:
+                dist, match = cKDTree(o.vertices).query(r.vertices)
+                out["vertex_match_max_dist"] = float(dist.max())
             errs[tag] = float(np.sqrt(np.mean(
-                (r.colors.astype(np.float64) - o.colors.astype(np.float64)) ** 2)))
+                (r.colors.astype(np.float64)
+                 - o.colors.astype(np.float64)[match]) ** 2)))
         if errs:
             per_level[lvl] = errs
     out["resampled_rmse_255"] = per_level

@@ -60,3 +60,30 @@ def test_golden_texture_cube(tmp_path):
     exact = float((ours == ref).all(-1).mean())
     assert rmse < 2.5, f"texture golden drifted: rmse {rmse:.3f}"
     assert exact > 0.95, f"texture golden drifted: exact-pixel fraction {exact:.4f}"
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not (os.path.exists("/tmp/parity2k/ref_result_2048.png")
+         and os.path.exists("/tmp/parity2k/ours/result_2048.png")),
+    reason="2K parity artifacts not present (see scripts/parity2k.py)")
+def test_parity_2k_vs_reference_binary():
+    """North-star-scale parity vs the rebuilt reference binary (VERDICT r2
+    next #6): 2048^2 result PNGs within RMSE 1/255 and per-level resampled
+    signals within 0.1/255 after geometric vertex matching. The measured
+    values (RMSE 0.152, levels 0.011-0.027) are pinned in PARITY_2K.json."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.parity2k import compare
+
+    out = compare()
+    assert out["result_rmse_255"] < 1.0
+    assert out["result_frac_within_1"] > 0.995
+    assert out["vertex_match_max_dist"] < 1e-6
+    for lvl, errs in out["resampled_rmse_255"].items():
+        for tag, rmse in errs.items():
+            assert rmse < 0.1, (lvl, tag, rmse)
