@@ -178,6 +178,21 @@ def main():
         z = z + p01 @ z1
         return jac(a, inv_d, r, z, nu)
 
+    def cycle2_exact_w(r, nu=2, m_corr=2):
+        # W-ish: m_corr exact coarse corrections with a smoothing pass between
+        z = jac(a, inv_d, r, np.zeros_like(r), nu)
+        for i in range(m_corr):
+            r1 = p01.T @ (r - a @ z)
+            z = z + p01 @ get_a1_lu().solve(r1)
+            z = jac(a, inv_d, r, z, nu)
+        return z
+
+    def cycle2_exact_cheby(r, deg=4):
+        z = cheby(r, np.zeros_like(r), deg)
+        r1 = p01.T @ (r - a @ z)
+        z = z + p01 @ get_a1_lu().solve(r1)
+        return cheby(r, z, deg)
+
     # Chebyshev fine smoother (needs lambda_max of D^-1 A; power iteration)
     lam_max = None
 
@@ -388,8 +403,17 @@ def main():
         "mg3_nu6": lambda r: cycle(r, hiptmair=False, nu=6),
         "mg3_nu2_hiptmair": lambda r: cycle(r, hiptmair=True, nu=2),
         "mg3_nu4_hiptmair": lambda r: cycle(r, hiptmair=True, nu=4),
+        "mg2_exact_nu1": lambda r: cycle2_exact(r, nu=1),
         "mg2_exact_nu2": lambda r: cycle2_exact(r, nu=2),
+        "mg2_exact_nu3": lambda r: cycle2_exact(r, nu=3),
         "mg2_exact_nu4": lambda r: cycle2_exact(r, nu=4),
+        "mg2_exact_w2_nu1": lambda r: cycle2_exact_w(r, nu=1, m_corr=2),
+        "mg2_exact_w2_nu2": lambda r: cycle2_exact_w(r, nu=2, m_corr=2),
+        "mg2_exact_w3_nu1": lambda r: cycle2_exact_w(r, nu=1, m_corr=3),
+        "mg2_exact_cheby2": lambda r: cycle2_exact_cheby(r, deg=2),
+        "mg2_exact_cheby3": lambda r: cycle2_exact_cheby(r, deg=3),
+        "mg2_exact_cheby4": lambda r: cycle2_exact_cheby(r, deg=4),
+        "mg2_exact_cheby6": lambda r: cycle2_exact_cheby(r, deg=6),
         "mg3_cheby4": lambda r: cycle3_cheby(r, deg=4),
         "mg3_cheby6": lambda r: cycle3_cheby(r, deg=6),
         "w_nu1_m1": lambda r: cycle_w(r, nu=1, m=1),
