@@ -326,13 +326,18 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch)
     _t3 = time.time()
-    return new_coeffs, new_tfield, dict(
+    from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
+    metrics = dict(
         smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
         flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
         trace_exhausted=exhausted,
         smooth_seconds=_t1 - _t0, trace_seconds=_t2 - _t1,
         solve_seconds=_t3 - _t2,
-        alignment_error=align_err), resampled
+        alignment_error=align_err)
+    if _LAST_ROUNDS[0]:
+        metrics["flow_rounds"] = "; ".join(
+            f"{it}@{rel:.1e}" for it, rel in _LAST_ROUNDS[0])
+    return new_coeffs, new_tfield, metrics, resampled
 
 
 @functools.partial(jax.jit, static_argnames=("min_step", "max_steps"))
@@ -849,7 +854,8 @@ class FlowProblem:
             if level == start_level and getattr(self, "_exp_exhausted", None) is not None:
                 stats["exp_remap_exhausted"] = self._exp_exhausted
                 self._exp_exhausted = None
-            stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+            stats = {k: (v if isinstance(v, str) else float(np.asarray(v)))
+                     for k, v in stats.items()}
             stats.update(level=level, s_weight=s_weight, v_weight=v_weight,
                          seconds=time.time() - t0)
             _exp_cap = stats.get("exp_remap_exhausted", 0)

@@ -128,6 +128,7 @@ def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
     x_hi = jnp.zeros_like(b_f32)
     x_lo = jnp.zeros_like(b_f32)
     total_iters = 0
+    rounds = []   # (inner_iters, outer_rel_before) observability trail
     best_x, best_rel = x_hi, np.inf
     prev_rel = np.inf
     for round_idx in range(max_rounds + 1):
@@ -147,11 +148,18 @@ def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
         inner_tol = min(max(tol / rel, inner_floor), 0.5)
         e, st = inner_solve(((r_hi + r_lo) / scale).astype(b.dtype), inner_tol)
         total_iters += int(st.iterations)
+        rounds.append((int(st.iterations), rel))
         x_hi, x_lo = df_update(x_hi, x_lo, e.astype(jnp.float32),
                                jnp.float32(scale))
+    _LAST_ROUNDS[0] = rounds
     return best_x.astype(b.dtype), CGStats(
         jnp.asarray(total_iters, jnp.int32),
         jnp.asarray(min(best_rel, 1e30), b.dtype))
+
+
+# Most-recent device-refinement round trail (observability; read by the
+# pipeline's level metrics right after the solve).
+_LAST_ROUNDS = [[]]
 
 
 def ell_solve_refined(
