@@ -65,6 +65,13 @@ class FlowConfig:
     cg_tol: float = 1e-7  # relative residual tolerance for PCG solves
     cg_max_iters: int = 2000
     flow_refine: bool = True  # mixed-precision iterative refinement of flow solves
+    flow_refine_tol: float = 3e-9   # outer (true-residual) target of refinement
+    # Round-1 inner tolerance floor. The f32 CG recurrence drifts ~1e-4 from
+    # the true residual at 2K scale, so asking the inner solve for 1e-5 burns
+    # a whole extra chunk (72 vs 48 iters measured) without improving the
+    # true residual round 1 hands to round 2; 1e-4 converges in 96 total
+    # iters vs 120 with the same final rel residual < 3e-9.
+    flow_refine_floor: float = 1e-4
     use_multigrid: bool = True  # geometric MG when a subdivision hierarchy exists
     # 2: host-factored coarse; 3: fully on-device (SA patch coarsest + tiled
     # fine SpMV) — 1.5x faster per flow solve on TPU, identical trajectories.

@@ -300,7 +300,9 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                patch=patch if config.flow_mg_levels >= 3 else None,
                                backend=config.flow_backend,
                                mg_cheb_k=config.mg_cheb_k,
-                               mg_coarse_exact=config.mg_coarse_exact)
+                               mg_coarse_exact=config.mg_coarse_exact,
+                               refine_tol=config.flow_refine_tol,
+                               refine_floor=config.flow_refine_floor)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,

@@ -239,6 +239,8 @@ def update_optical_flow(
     backend: str = "auto",  # flow SpMV backend: pallas | xla | auto
     mg_cheb_k: int = 1,     # Chebyshev order of the inner coarse-1 solve
     mg_coarse_exact: bool = False,  # banded-Cholesky exact c1 solve
+    refine_tol: float = 3e-9,
+    refine_floor: float = 1e-5,
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -357,7 +359,7 @@ def update_optical_flow(
                 lambda r, tol_inner: solver.solve(
                     r, tol=max(cg_tol, tol_inner),
                     max_iters=min(cg_max_iters, 120)),
-                tol=3e-9, inner_floor=1e-5)
+                tol=refine_tol, inner_floor=refine_floor)
         else:
             x, stats = solver.solve(rhs, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))
