@@ -16,15 +16,27 @@ Measured reality on this chip (scripts/bench_spmv.py):
 
 Layout (host pack from the RCM-permuted pattern, 128x128 tiles):
 
-    tile_cols: (nr, K) int32        column tile per block row (padded slots
-                                    repeat tile 0 with zero values)
-    vals_t:    (nr, K, 128, 128)    TRANSPOSED tiles so the kernel contracts
-                                    a row-vector x-slice on the MXU:
+    tile_cols: per-bucket (nr_b, K_b) int32   column tile per block row
+                                    (padded slots repeat tile 0 with zero
+                                    values)
+    vals_t:    per-bucket (nr_b, K_b, 128, 128)  TRANSPOSED tiles so the
+                                    kernel contracts a row-vector x-slice
+                                    on the MXU:
                                         y[1,128] += x[1,128] @ vals_t[r,k]
 
 x lives fully in VMEM as (col_nr, 128) — one sublane row per column tile —
 so fetching a column tile is a dynamic sublane slice, not a gather (the op
 Mosaic lacks). tile_cols rides in SMEM via PrefetchScalarGridSpec.
+
+Block-ELL pads every block row to the SAME tile count K; on the real flow
+operators the mean count is ~half of K (8.3 vs 16 at 2K-bench scale), so a
+single-K stream wastes ~45% of its HBM bytes on zero tiles. The pack
+therefore sorts block rows by their real tile count and splits them into a
+few BUCKETS, each padded only to its own K (one pallas_call per bucket;
+rows return to tile order with one cheap (nr,128) row gather). Per-row
+accumulation order is unchanged, so results are bit-identical to the
+single-bucket kernel. Measured pattern savings at 2K-bench scale with 3
+buckets: fine 42%, P0 40%, c1 21%, P0^T 24% of streamed tiles.
 
 Rectangular operators (the multigrid transfer matrices P0 / P0^T) use the
 same kernel with independent row/column permutations.
@@ -95,39 +107,113 @@ class BlockEllPattern:
     """Host-side 128x128 block-ELL pattern of a (row_n x col_n) operator.
 
     ``slots`` maps each entry of a padded-ELL (row-major (n, W)) values
-    array into the flat TRANSPOSED tile array, so device-side revaluation is
-    one scatter-add (`revalue`). Permutations are baked in: row i of the
-    original operator lives at permuted position inv_row_perm[i].
+    array into the concatenation of the per-bucket flat TRANSPOSED tile
+    arrays, so device-side revaluation is one scatter-add (`_revalue`).
+    Permutations are baked in: row i of the original operator lives at
+    permuted position inv_row_perm[i].
+
+    Block rows are processed in ``row_sort`` order (sorted by real tile
+    count, partitioned into buckets each padded to its own K);
+    ``row_unsort`` restores tile order on the kernel output. With one
+    bucket both are identity and the restore gather is skipped.
     """
 
-    tile_cols: np.ndarray      # (nr, K) int32
-    slots: np.ndarray          # (n * W,) int64 into vals_t.ravel()
+    tile_cols: tuple           # per bucket: (nr_b, K_b) int32, rows sorted
+    slots: np.ndarray          # (n * W,) int64 into concat(vals_t_b.ravel())
     row_perm: np.ndarray       # (row_n,) permuted slot -> original index
     col_perm: np.ndarray
     row_n: int
     col_n: int
+    row_sort: np.ndarray       # (nr,) sorted slot -> tile block row
+    row_unsort: np.ndarray     # (nr,) tile block row -> sorted slot
 
     @property
     def nr(self) -> int:
-        return self.tile_cols.shape[0]
+        return self.row_sort.shape[0]
 
     @property
     def k(self) -> int:
-        return self.tile_cols.shape[1]
+        return max(tc.shape[1] for tc in self.tile_cols)
+
+    @property
+    def bucket_sizes(self) -> tuple:
+        """Static ((nr_b, K_b), ...) for jit keys / revalue shapes."""
+        return tuple((tc.shape[0], tc.shape[1]) for tc in self.tile_cols)
+
+    @property
+    def trivial_sort(self) -> bool:
+        return len(self.tile_cols) == 1
 
     @property
     def col_nr(self) -> int:
         return -(-self.col_n // 128)
 
 
+def _bucket_split(per_row: np.ndarray, k: int, buckets: int):
+    """Optimal partition of K-sorted block rows into <= ``buckets`` groups.
+
+    Boundaries are multiples of 8 (whole output tiles / grid alignment).
+    Returns (starts, ks): bucket b covers sorted rows
+    [starts[b], starts[b+1]) padded to ks[b] tiles. DP minimizes the total
+    streamed tile count sum_b count_b * ks[b]; adjacent buckets whose merge
+    costs < 1% extra are merged (fewer kernel dispatches).
+    """
+    nr = len(per_row)
+    sg = np.sort(per_row)
+    cands = list(range(0, nr + 1, 8))
+    inf = float("inf")
+    cost = {(0, 0): 0.0}
+    back = {}
+    for b in range(1, buckets + 1):
+        for j in cands:
+            best, arg = cost.get((b - 1, j), inf), (b - 1, j)
+            for i in cands:
+                if i >= j:
+                    break
+                prev = cost.get((b - 1, i), inf)
+                if prev < inf:
+                    c = prev + (j - i) * max(int(sg[j - 1]), 1)
+                    if c < best:
+                        best, arg = c, (b - 1, i)
+            cost[(b, j)] = best
+            back[(b, j)] = arg
+    # walk back from the cheapest (b, nr)
+    b = min(range(1, buckets + 1), key=lambda bb: cost.get((bb, nr), inf))
+    bounds = [nr]
+    key = (b, nr)
+    while key[1] > 0:
+        key = back[key]
+        if key[1] != bounds[-1]:     # skip zero-width (unused) buckets
+            bounds.append(key[1])
+    if bounds[-1] != 0:
+        bounds.append(0)
+    bounds = bounds[::-1]
+    starts = bounds[:-1]
+    ks = [max(int(sg[e - 1]), 1) for e in bounds[1:]]
+    # merge near-equal buckets
+    total = sum((e - s) * kk for s, e, kk in zip(bounds, bounds[1:], ks))
+    merged_s, merged_k = [starts[0]], [ks[0]]
+    for s, e, kk in zip(starts[1:], bounds[2:], ks[1:]):
+        extra = (s - merged_s[-1]) * (kk - merged_k[-1])
+        if extra <= 0.01 * total:
+            merged_k[-1] = kk
+        else:
+            merged_s.append(s)
+            merged_k.append(kk)
+    return merged_s + [nr], merged_k
+
+
 def pack_pattern(ell_cols: np.ndarray, row_perm: np.ndarray,
                  col_perm: Optional[np.ndarray] = None,
                  col_n: Optional[int] = None,
-                 rows_per_step: int = 2) -> BlockEllPattern:
+                 rows_per_step: int = 2,
+                 buckets: int = 3) -> BlockEllPattern:
     """Pack a padded-ELL pattern (n, W) into 128x128 block-ELL tile form.
 
     Padded ELL slots (column == row's padding target, value 0) simply map to
     whatever tile holds that (row, col) position — scatter-adding zero.
+    ``buckets`` > 1 sorts block rows by real tile count and pads each bucket
+    only to its own K (see module docstring).
     """
     n, w = ell_cols.shape
     row_perm = np.asarray(row_perm, np.int64)
@@ -150,25 +236,55 @@ def pack_pattern(ell_cols: np.ndarray, row_perm: np.ndarray,
     bi, bj = pi // 128, pj // 128
     key = bi * ncr + bj
     blocks = np.unique(key)
-    # tiles per block row, padded to the max (block-ELL)
+    # tiles per block row, padded per bucket (block-ELL)
     per_row = np.bincount((blocks // ncr).astype(np.int64), minlength=nr)
     k = max(int(per_row.max()), 1)
     row_start = np.zeros(nr + 1, np.int64)
     np.cumsum(per_row, out=row_start[1:])
     tile_slot_of_block = np.arange(len(blocks)) - row_start[blocks // ncr]
-    tile_cols = np.zeros((nr, k), np.int32)
-    tile_cols[blocks // ncr, tile_slot_of_block] = blocks % ncr
+    tile_cols_full = np.zeros((nr, k), np.int32)
+    tile_cols_full[blocks // ncr, tile_slot_of_block] = blocks % ncr
     pad_mask = np.arange(k)[None, :] >= per_row[:, None]
-    fill = np.where(per_row > 0, tile_cols[:, 0], 0)
-    tile_cols = np.where(pad_mask, fill[:, None], tile_cols)
+    fill = np.where(per_row > 0, tile_cols_full[:, 0], 0)
+    tile_cols_full = np.where(pad_mask, fill[:, None], tile_cols_full)
+
+    if buckets <= 1:
+        row_sort = np.arange(nr, dtype=np.int64)
+        starts, ks = [0, nr], [k]
+    else:
+        row_sort = np.argsort(per_row, kind="stable").astype(np.int64)
+        starts, ks = _bucket_split(per_row, k, buckets)
+        if len(ks) == 1:
+            # Single bucket: sorting buys nothing — keep identity order so
+            # the restore gather is skipped (trivial_sort).
+            row_sort = np.arange(nr, dtype=np.int64)
+            ks = [k]
+    row_unsort = np.empty(nr, np.int64)
+    row_unsort[row_sort] = np.arange(nr)
+
+    tile_cols = tuple(
+        np.ascontiguousarray(tile_cols_full[row_sort[s:e], :kk])
+        for s, e, kk in zip(starts, starts[1:], ks))
 
     block_of_entry = np.searchsorted(blocks, key)
     kslot = tile_slot_of_block[block_of_entry]
-    # transposed tile layout: vals_t[block_row, kslot, pj%128, pi%128]
-    slots = (((bi * k + kslot) * 128 + (pj % 128)) * 128 + (pi % 128))
+    # transposed tile layout within a bucket:
+    #   vals_t_b[local_row, kslot, pj%128, pi%128]
+    starts_a = np.asarray(starts[:-1], np.int64)
+    ks_a = np.asarray(ks, np.int64)
+    counts = np.asarray(starts[1:], np.int64) - starts_a
+    offs = np.zeros(len(ks), np.int64)
+    np.cumsum(counts[:-1] * ks_a[:-1] * 128 * 128, out=offs[1:])
+    sslot = row_unsort[bi]                      # sorted position per entry
+    bucket = np.searchsorted(starts_a, sslot, side="right") - 1
+    local = sslot - starts_a[bucket]
+    slots = (offs[bucket]
+             + ((local * ks_a[bucket] + kslot) * 128 + (pj % 128)) * 128
+             + (pi % 128))
     return BlockEllPattern(tile_cols=tile_cols, slots=slots.astype(np.int64),
                            row_perm=np.asarray(row_perm), col_perm=np.asarray(col_perm),
-                           row_n=len(row_perm), col_n=col_n)
+                           row_n=len(row_perm), col_n=col_n,
+                           row_sort=row_sort, row_unsort=row_unsort)
 
 
 class PallasEll:
@@ -176,14 +292,16 @@ class PallasEll:
 
     ``apply(x_tiles)`` works in PERMUTED TILE SPACE: x_tiles is
     (col_nr, 128) f32, returns (nr, 128). Use ``to_tiles``/``from_tiles``
-    at solver boundaries only.
+    at solver boundaries only. ``tile_cols`` / ``vals_t`` are per-bucket
+    tuples (see module docstring); one pallas_call runs per bucket and a
+    row gather restores tile order.
     """
 
     def __init__(self, pattern: BlockEllPattern, tile_cols_dev, vals_t,
                  rows_per_step: int = 2, interpret: bool = False):
         self.pattern = pattern
-        self.tile_cols = tile_cols_dev
-        self.vals_t = vals_t
+        self.tile_cols = tile_cols_dev     # tuple of (nr_b, K_b) int32
+        self.vals_t = vals_t               # tuple of (nr_b, K_b, 128, 128)
         self.rows_per_step = rows_per_step
         self.interpret = interpret
 
@@ -194,36 +312,67 @@ class PallasEll:
         """Revalue the packed operator from a padded-ELL values array
         ((n, W), matching the cols the pattern was packed from) — one
         device scatter-add. ``slots_dev`` = jnp.asarray(pattern.slots)."""
-        nr, k = pattern.tile_cols.shape
-        vals_t = _revalue(slots_dev, ell_vals, nr, k, dtype)
-        return cls(pattern, jnp.asarray(pattern.tile_cols), vals_t,
+        vals_t = _revalue(slots_dev, ell_vals, pattern.bucket_sizes, dtype)
+        return cls(pattern, tile_cols_dev(pattern), vals_t,
                    rows_per_step, interpret)
 
+    def _restore(self, y_parts):
+        if self.pattern.trivial_sort:
+            return y_parts[0]
+        y = jnp.concatenate(y_parts, axis=0)
+        # (nr,) gather restoring tile order — 10 KB of indices, ~1 MB of y.
+        return jnp.take(y, jnp.asarray(self.pattern.row_unsort, jnp.int32),
+                        axis=0)
+
     def apply(self, x_tiles):
-        return spmv_tiles(self.tile_cols, x_tiles, self.vals_t,
-                          rows_per_step=self.rows_per_step,
-                          interpret=self.interpret)
+        return self._restore([
+            spmv_tiles(tc, x_tiles, v, rows_per_step=self.rows_per_step,
+                       interpret=self.interpret)
+            for tc, v in zip(self.tile_cols, self.vals_t)])
+
+    def apply_multi(self, x_tiles):
+        """Multi-rhs matvec: x_tiles (col_nr, 8, 128) -> (nr, 8, 128)."""
+        return self._restore([
+            spmv_tiles_multi(tc, x_tiles, v, interpret=self.interpret)
+            for tc, v in zip(self.tile_cols, self.vals_t)])
 
     @property
     def gigabytes(self) -> float:
-        return self.vals_t.size * self.vals_t.dtype.itemsize / 1e9
+        return sum(v.size * v.dtype.itemsize for v in self.vals_t) / 1e9
 
 
-@functools.partial(jax.jit, static_argnames=("nr", "k", "dtype"))
-def _revalue(slots, ell_vals, nr: int, k: int, dtype):
-    flat = jnp.zeros((nr * k * 128 * 128,), jnp.float32)
+def tile_cols_dev(pattern: BlockEllPattern) -> tuple:
+    """Per-bucket device tile_cols tuple for a pattern."""
+    return tuple(jnp.asarray(tc) for tc in pattern.tile_cols)
+
+
+def _bucketize(flat, sizes, dtype):
+    out, off = [], 0
+    for nr_b, k_b in sizes:
+        sz = nr_b * k_b * 128 * 128
+        out.append(flat[off:off + sz].reshape(nr_b, k_b, 128, 128)
+                   .astype(dtype))
+        off += sz
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "dtype"))
+def _revalue(slots, ell_vals, sizes: tuple, dtype):
+    total = sum(nr_b * k_b for nr_b, k_b in sizes) * 128 * 128
+    flat = jnp.zeros((total,), jnp.float32)
     flat = flat.at[slots].add(ell_vals.ravel().astype(jnp.float32))
-    return flat.reshape(nr, k, 128, 128).astype(dtype)
+    return _bucketize(flat, sizes, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nr", "k"))
-def _revalue_pair(slots, ell_vals, nr: int, k: int):
+@functools.partial(jax.jit, static_argnames=("sizes",))
+def _revalue_pair(slots, ell_vals, sizes: tuple):
     """One scatter producing both the f32 and bf16 tile arrays (fusing the
     cast saves a full extra pass over the tiles per level)."""
-    flat = jnp.zeros((nr * k * 128 * 128,), jnp.float32)
+    total = sum(nr_b * k_b for nr_b, k_b in sizes) * 128 * 128
+    flat = jnp.zeros((total,), jnp.float32)
     flat = flat.at[slots].add(ell_vals.ravel().astype(jnp.float32))
-    v = flat.reshape(nr, k, 128, 128)
-    return v, v.astype(jnp.bfloat16)
+    return (_bucketize(flat, sizes, jnp.float32),
+            _bucketize(flat, sizes, jnp.bfloat16))
 
 
 def _spmv_multi_kernel(tc_ref, x_ref, vals_ref, o_ref, *, k: int):

@@ -39,7 +39,7 @@ from jax import lax
 
 from meshopticalflow_tpu.kernels.pallas_spmv import (
     BlockEllPattern, PallasEll, _revalue_pair, from_tiles, from_tiles_multi,
-    pack_pattern, spmv_tiles, spmv_tiles_multi, to_tiles, to_tiles_multi)
+    pack_pattern, tile_cols_dev, to_tiles, to_tiles_multi)
 from meshopticalflow_tpu.solvers.cg import CGStats
 
 
@@ -127,9 +127,14 @@ def _build_mg_pack_host(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     p0t_pat = pack_pattern(p0t_cols, c1_perm, col_perm=fine_perm, col_n=n_f)
 
     def pat_dict(tag, pat):
-        return {f"{tag}_tile_cols": pat.tile_cols, f"{tag}_slots": pat.slots,
-                f"{tag}_row_perm": pat.row_perm, f"{tag}_col_perm": pat.col_perm,
-                f"{tag}_dims": np.asarray([pat.row_n, pat.col_n])}
+        d = {f"{tag}_slots": pat.slots,
+             f"{tag}_row_perm": pat.row_perm, f"{tag}_col_perm": pat.col_perm,
+             f"{tag}_dims": np.asarray([pat.row_n, pat.col_n]),
+             f"{tag}_row_sort": pat.row_sort,
+             f"{tag}_nbuckets": np.asarray([len(pat.tile_cols)])}
+        for i, tc in enumerate(pat.tile_cols):
+            d[f"{tag}_btc{i}"] = tc
+        return d
 
     out = {}
     for tag, pat in (("fine", fine_pat), ("c1", c1_pat), ("p0", p0_pat),
@@ -150,19 +155,26 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     stand up the device-side transfer operators."""
     from meshopticalflow_tpu.utils.artifacts import cached
 
-    d = cached("mgpack", cache_key,
+    d = cached("mgpack3", cache_key,
                lambda: _build_mg_pack_host(fine_ell_cols, c1_ell_cols, p0_csr,
                                            p12_idx, p12_wt),
                enabled=bool(cache_key))
 
     def pat_from(tag):
         dims = d[f"{tag}_dims"]
+        nb = int(d[f"{tag}_nbuckets"][0])
+        tcs = tuple(np.asarray(d[f"{tag}_btc{i}"], np.int32)
+                    for i in range(nb))
+        row_sort = np.asarray(d[f"{tag}_row_sort"], np.int64)
+        row_unsort = np.empty(len(row_sort), np.int64)
+        row_unsort[row_sort] = np.arange(len(row_sort))
         return BlockEllPattern(
-            tile_cols=np.asarray(d[f"{tag}_tile_cols"], np.int32),
+            tile_cols=tcs,
             slots=np.asarray(d[f"{tag}_slots"], np.int64),
             row_perm=np.asarray(d[f"{tag}_row_perm"]),
             col_perm=np.asarray(d[f"{tag}_col_perm"]),
-            row_n=int(dims[0]), col_n=int(dims[1]))
+            row_n=int(dims[0]), col_n=int(dims[1]),
+            row_sort=row_sort, row_unsort=row_unsort)
 
     fine_pat, c1_pat = pat_from("fine"), pat_from("c1")
     p0_pat, p0t_pat = pat_from("p0"), pat_from("p0t")
@@ -531,16 +543,16 @@ class PallasMG3Solver:
             # on total breakdown fall back to the 3-level cycle (c1_l_blocks
             # stays None)
         dtype = jnp.float32
-        tc_f = jnp.asarray(pack.fine_pat.tile_cols)
+        tc_f = tile_cols_dev(pack.fine_pat)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
-                                  pack.fine_pat.nr, pack.fine_pat.k)
+                                  pack.fine_pat.bucket_sizes)
         self.fine_f32 = PallasEll(pack.fine_pat, tc_f, vf32,
                                   interpret=pack.interpret)
         self.fine_bf = PallasEll(pack.fine_pat, tc_f, vbf,
                                  interpret=pack.interpret)
-        tc_1 = jnp.asarray(pack.c1_pat.tile_cols)
+        tc_1 = tile_cols_dev(pack.c1_pat)
         c32, cbf = _revalue_pair(pack.c1_slots, c1_ell_vals,
-                                 pack.c1_pat.nr, pack.c1_pat.k)
+                                 pack.c1_pat.bucket_sizes)
         self.c1_f32 = PallasEll(pack.c1_pat, tc_1, c32,
                                 interpret=pack.interpret)
         self.c1_bf = PallasEll(pack.c1_pat, tc_1, cbf,
@@ -635,8 +647,7 @@ class PallasMG3Solver:
 # ----------------------------------------------------------------------------
 
 def _apply_multi(op: PallasEll, x_tiles):
-    return spmv_tiles_multi(op.tile_cols, x_tiles, op.vals_t,
-                            interpret=op.interpret)
+    return op.apply_multi(x_tiles)
 
 
 def _jac_m(op, inv_diag_t, r_t, z_t, omega, nu):
@@ -781,16 +792,16 @@ class PallasMG3MultiSolver:
                 if bool(ok):
                     self.c1_l_blocks = l_blocks
                     break
-        tc_f = jnp.asarray(pack.fine_pat.tile_cols)
+        tc_f = tile_cols_dev(pack.fine_pat)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
-                                  pack.fine_pat.nr, pack.fine_pat.k)
+                                  pack.fine_pat.bucket_sizes)
         self.fine_f32 = PallasEll(pack.fine_pat, tc_f, vf32,
                                   interpret=pack.interpret)
         self.fine_bf = PallasEll(pack.fine_pat, tc_f, vbf,
                                  interpret=pack.interpret)
-        tc_1 = jnp.asarray(pack.c1_pat.tile_cols)
+        tc_1 = tile_cols_dev(pack.c1_pat)
         c32, cbf = _revalue_pair(pack.c1_slots, c1_ell_vals,
-                                 pack.c1_pat.nr, pack.c1_pat.k)
+                                 pack.c1_pat.bucket_sizes)
         self.c1_f32 = PallasEll(pack.c1_pat, tc_1, c32,
                                 interpret=pack.interpret)
         self.c1_bf = PallasEll(pack.c1_pat, tc_1, cbf,

@@ -54,6 +54,61 @@ def test_pack_rectangular_transfer(rng):
     np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
 
 
+def test_bucketed_pack_matches_single_bucket(rng):
+    """K-bucketed packing (rows sorted by tile count, per-bucket K) must
+    produce BIT-IDENTICAL results to the single-bucket kernel — per-row
+    accumulation order is unchanged, only grid processing order moves."""
+    n, w = 4096, 9
+    # column distribution engineered so block rows have very different tile
+    # counts: low rows stay near-diagonal (1-2 tiles), high rows scatter.
+    cols = np.empty((n, w), np.int64)
+    for i in range(n):
+        if (i // 128) % 3 == 0:
+            cols[i] = (i + np.arange(w)) % 128 + (i // 128) * 128
+        else:
+            cols[i] = (i * 37 + np.arange(w) * 977) % n
+    vals = rng.standard_normal((n, w))
+    rows = np.repeat(np.arange(n), w)
+    a = sp.csr_matrix((vals.ravel(), (rows, cols.ravel())), shape=(n, n))
+    # permute within 128-blocks (a global shuffle would scatter every block
+    # row across all column tiles and defeat the engineered K variation)
+    perm = (np.arange(n).reshape(-1, 128)[:, rng.permutation(128)]).ravel()
+
+    pat1 = pack_pattern(cols.astype(np.int32), perm, buckets=1)
+    pat3 = pack_pattern(cols.astype(np.int32), perm, buckets=3)
+    assert len(pat3.tile_cols) >= 2, [tc.shape for tc in pat3.tile_cols]
+    tiles1 = sum(tc.size for tc in pat1.tile_cols)
+    tiles3 = sum(tc.size for tc in pat3.tile_cols)
+    assert tiles3 < tiles1  # the point of the exercise: fewer streamed tiles
+
+    vj = jnp.asarray(vals, jnp.float32)
+    op1 = PallasEll.from_ell_values(pat1, jnp.asarray(pat1.slots), vj,
+                                    interpret=True)
+    op3 = PallasEll.from_ell_values(pat3, jnp.asarray(pat3.slots), vj,
+                                    interpret=True)
+    x = rng.standard_normal(n)
+    x_t = to_tiles(jnp.asarray(x, jnp.float32), jnp.asarray(perm, jnp.int32),
+                   pat1.nr)
+    y1 = np.asarray(op1.apply(x_t))
+    y3 = np.asarray(op3.apply(x_t))
+    np.testing.assert_array_equal(y1, y3)
+    inv = jnp.asarray(np.argsort(perm), jnp.int32)
+    y = from_tiles(jnp.asarray(y3), inv, n)
+    np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
+
+    # multi-rhs path through the same buckets
+    from meshopticalflow_tpu.kernels.pallas_spmv import (from_tiles_multi,
+                                                         to_tiles_multi)
+    xm = rng.standard_normal((n, 5))
+    xm_t = to_tiles_multi(jnp.asarray(xm, jnp.float32),
+                          jnp.asarray(perm, jnp.int32), pat1.nr)
+    ym1 = np.asarray(op1.apply_multi(xm_t))
+    ym3 = np.asarray(op3.apply_multi(xm_t))
+    np.testing.assert_array_equal(ym1, ym3)
+    ym = from_tiles_multi(jnp.asarray(ym3), inv, n, 5)
+    np.testing.assert_allclose(np.asarray(ym), a @ xm, rtol=2e-5, atol=1e-4)
+
+
 def test_pallas_mg3_solver_small_sphere(rng):
     """End-to-end PallasMG3Solver (interpret) vs scipy on a real flow system."""
     from meshopticalflow_tpu.config import FlowConfig
@@ -139,25 +194,7 @@ def test_spmv_multi_rhs_matches_scipy(rng):
     x = rng.standard_normal((n, c))
     x_t = to_tiles_multi(jnp.asarray(x, jnp.float32),
                          jnp.asarray(perm, jnp.int32), pat.nr)
-    import functools
-    call = functools.partial(spmv_tiles_multi.__wrapped__
-                             if hasattr(spmv_tiles_multi, "__wrapped__")
-                             else spmv_tiles_multi)
-    # interpret mode: call the pallas op through the op's tiles directly
-    from meshopticalflow_tpu.kernels import pallas_spmv as ps
-    import jax.experimental.pallas as pl
-    y_t = ps.pl.pallas_call(
-        functools.partial(ps._spmv_multi_kernel, k=pat.k),
-        out_shape=jax.ShapeDtypeStruct((pat.nr, 8, 128), jnp.float32),
-        grid_spec=ps.pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(pat.nr,),
-            in_specs=[ps.pl.BlockSpec(memory_space=ps.pltpu.VMEM),
-                      ps.pl.BlockSpec((1, pat.k, 128, 128),
-                                      lambda i, tc: (i, 0, 0, 0),
-                                      memory_space=ps.pltpu.VMEM)],
-            out_specs=ps.pl.BlockSpec((1, 8, 128), lambda i, tc: (i, 0, 0))),
-        interpret=True,
-    )(op.tile_cols.reshape(-1), x_t, op.vals_t)
+    y_t = op.apply_multi(x_t)
     y = from_tiles_multi(y_t, jnp.asarray(np.argsort(perm), jnp.int32), n, c)
     np.testing.assert_allclose(np.asarray(y), a @ x, rtol=2e-5, atol=1e-4)
 
