@@ -176,15 +176,23 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
     return solver, b
 
 
+# Streamed-GB estimate of the most recent Pallas smoothing solve (None for
+# the XLA / plain-CG fallbacks) — feeds the level bandwidth metrics.
+_LAST_SMOOTH_GB = [None]
+
+
 def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
                   vcoarse=None, vpatch=None):
+    _LAST_SMOOTH_GB[0] = None
     backend = config.flow_backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if vcoarse is not None and vpatch is not None and backend == "pallas":
         solver, b = _vertex_pallas_solver(arrays, vcoarse, vpatch, s_weight)
-        return solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
-                            max_iters=min(config.cg_max_iters, 200))
+        out, stats = solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
+                                  max_iters=min(config.cg_max_iters, 200))
+        _LAST_SMOOTH_GB[0] = float(stats.iterations) * solver.gb_per_iter
+        return out, stats
     if vcoarse is not None:
         from meshopticalflow_tpu.flow.signal import _smooth_system
         sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
@@ -328,6 +336,7 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch)
     _t3 = time.time()
+    from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
     metrics = dict(
         smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
@@ -336,6 +345,14 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
         smooth_seconds=_t1 - _t0, trace_seconds=_t2 - _t1,
         solve_seconds=_t3 - _t2,
         alignment_error=align_err)
+    # Effective HBM bandwidth of the Pallas solves (streamed-GB model /
+    # stage wall): a bandwidth regression — host round trips sneaking into
+    # the loop, a de-optimized kernel — shows up here without a profiler.
+    if LAST_FLOW_SOLVE.get("gb") is not None:
+        metrics["flow_gb"] = LAST_FLOW_SOLVE["gb"]
+        metrics["flow_eff_gbps"] = LAST_FLOW_SOLVE["gb"] / max(_t3 - _t2, 1e-9)
+    if _LAST_SMOOTH_GB[0] is not None:
+        metrics["smooth_eff_gbps"] = _LAST_SMOOTH_GB[0] / max(_t1 - _t0, 1e-9)
     if _LAST_ROUNDS[0]:
         metrics["flow_rounds"] = "; ".join(
             f"{it}@{rel:.1e}" for it, rel in _LAST_ROUNDS[0])

@@ -223,6 +223,13 @@ def _tiled_operator(ell_cols, ell_vals, cache_holder, attr: str):
     return BlockEllDevice(tile_cols, vals, perm, inv_perm, n)
 
 
+# Streamed-bytes estimate of the most recent flow solve ({"gb": float|None};
+# None when the solver has no bandwidth model). Same reporting pattern as
+# solvers.refine._LAST_ROUNDS: the pipeline reads it right after
+# update_optical_flow returns to attach an effective-GB/s level metric.
+LAST_FLOW_SOLVE = {"gb": None}
+
+
 def update_optical_flow(
     basis: BasisDevice,
     coeffs: jnp.ndarray,
@@ -255,6 +262,7 @@ def update_optical_flow(
     """
     from meshopticalflow_tpu.solvers.cg import CGStats, ell_pcg
 
+    LAST_FLOW_SOLVE["gb"] = None
     vf_smooth_weight = jnp.asarray(vf_smooth_weight, coeffs.dtype)
     sys_vals, dt_vals, rhs, diag, scale = build_flow_system(basis, d_blocks, rhs_t,
                                                             vf_smooth_weight)
@@ -363,6 +371,8 @@ def update_optical_flow(
         else:
             x, stats = solver.solve(rhs, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))
+        LAST_FLOW_SOLVE["gb"] = (float(stats.iterations) * solver.gb_per_iter
+                                 if hasattr(solver, "gb_per_iter") else None)
     elif refine:
         # Mixed-precision iterative refinement: reach float64-direct-solve
         # residual quality with f32 device CG (solvers/refine.py).

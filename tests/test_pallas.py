@@ -350,6 +350,7 @@ def test_pallas_mg3_banded_exact_coarse(rng):
     solver = PallasMG3Solver(pack, sys_vals, fdiag, c_vals, c_diag, a2,
                              c1_band=band)
     assert solver.c1_l_blocks is not None
+    assert 0 < solver.gb_per_iter < 1.0   # streamed-bytes model is sane
     x, stats = solver.solve(rhs, tol=1e-6, max_iters=200, chunk=2)
 
     n, w = fine_dev.ell_cols.shape
