@@ -42,7 +42,9 @@ def one_draw(paths, size, levels):
     res = prob.run(verbose=False)
     run_s = time.time() - t0
     t0 = time.time()
-    prob.advected_textures()
+    # The product output stage: advect both textures, blend on device,
+    # download the uint8 halfway image once (what --out writes).
+    prob.halfway_texture()
     out_s = time.time() - t0
 
     texels = size * size

@@ -42,6 +42,45 @@ sys.exit(main(["--in", "{tmp}/a.ply", "{tmp}/b.ply", "--out", "{tmp}/out.ply",
     assert m.colors is not None and np.isfinite(m.colors).all()
 
 
+def test_optical_flow_texture_cli(tmp_path):
+    """Texture-atlas mode — the reference's primary entry point
+    (README.md:27-37): --mesh + PNG pair -> result.png through the
+    device-blended output path."""
+    from meshopticalflow_tpu.io.ply import write_ply_textured
+    from meshopticalflow_tpu.io.png import read_png_rgb, write_png_rgb
+
+    n = 5
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                         indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (i * n + j, (i + 1) * n + j,
+                          (i + 1) * n + j + 1, i * n + j + 1)
+            tris += [[a, b, c], [a, c, d]]
+    tris = np.array(tris, np.int32)
+    write_ply_textured(str(tmp_path / "m.ply"), verts, tris,
+                       verts[tris][:, :, :2])
+    size = 24
+    uu, vv = np.meshgrid(np.arange(size) / (size - 1),
+                         np.arange(size) / (size - 1), indexing="xy")
+    for name, cx in (("A", 0.45), ("B", 0.55)):
+        img = 255 * np.exp(-(((uu - cx) ** 2 + (vv - 0.5) ** 2) / 0.03))
+        write_png_rgb(str(tmp_path / f"{name}.png"),
+                      np.flipud(np.stack([img] * 3, -1)).astype(np.uint8))
+    r = _run(f"""
+from meshopticalflow_tpu.apps.optical_flow import main
+sys.exit(main(["--mesh", "{tmp_path}/m.ply",
+               "--in", "{tmp_path}/A.png", "{tmp_path}/B.png",
+               "--out", "{tmp_path}/out.png", "--iterations", "3",
+               "--dogWeight", "0", "--eLength", "0"]))
+""", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = read_png_rgb(str(tmp_path / "out.png"))
+    assert out.shape == (size, size, 3) and out.max() > 50
+
+
 def test_spectrum_cli(vertex_pair):
     tmp = vertex_pair
     r = _run(f"""

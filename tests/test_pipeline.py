@@ -131,6 +131,14 @@ def test_texture_pipeline_smoke(tmp_path):
     naive = (blob(0.42, 0.5).astype(np.float64) + blob(0.58, 0.5)) / 2
     assert out.max() > naive.max() + 10
 
+    # The device-side blend+quantize (one uint8 fetch — the production
+    # output path) must be BIT-IDENTICAL to blending the two advected
+    # float textures on host.
+    adv = prob.advected_textures()
+    host_blend = (adv[0] + adv[1]) / 2.0
+    host_q = np.clip(host_blend, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(prob.halfway_texture(), host_q)
+
 
 def test_checkpoint_resume(tmp_path):
     """Interrupted runs resume deterministically from the last level."""
