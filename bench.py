@@ -58,6 +58,12 @@ def one_draw(paths, size, levels):
         "pipeline_texels_per_sec": round(texels / (run_s + out_s), 1),
         "final_alignment_error": round(float(res.metrics[-1]["alignment_error"]), 4),
         "level_seconds": [round(m["seconds"], 2) for m in res.metrics],
+        "level_stage_seconds": [
+            [round(m.get(k, 0.0), 2) for k in
+             ("smooth_seconds", "trace_seconds", "solve_seconds")]
+            for m in res.metrics],
+        "flow_eff_gbps": [round(m["flow_eff_gbps"], 1) for m in res.metrics
+                          if "flow_eff_gbps" in m],
         "init_profile": getattr(prob, "init_profile", {}),
         "triangles": prob.mesh.n_triangles,
     }
