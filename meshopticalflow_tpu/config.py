@@ -85,6 +85,12 @@ class FlowConfig:
     # PCG iterations drop 64 -> 26 (k=4) / 18 (k=6) on the demo system
     # (scripts/exp_mg.py), a net ~30% matvec-work cut.
     mg_cheb_k: int = 4
+    # Damped-Jacobi smoothing steps per half-cycle of the MG preconditioner
+    # (the V-cycle runs nu-1 pre-smooths + nu post-smooths around the coarse
+    # correction). More smoothing costs 2 extra bf16 fine-operator streams
+    # per step but cuts outer PCG iterations; 2 measured best with the
+    # exact banded c1 (scripts/exp_nu.py).
+    mg_nu: int = 2
     # EXACT coarse-1 solve via blocked banded Cholesky on the MXU
     # (solvers/banded.py) inside the Pallas MG cycle — the round-3 strong
     # coarse solve (VERDICT r2 next #1): outer PCG iterations drop to the

@@ -309,6 +309,7 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                backend=config.flow_backend,
                                mg_cheb_k=config.mg_cheb_k,
                                mg_coarse_exact=config.mg_coarse_exact,
+                               mg_nu=config.mg_nu,
                                refine_tol=config.flow_refine_tol,
                                refine_floor=config.flow_refine_floor)
 
@@ -644,7 +645,9 @@ class FlowProblem:
         ck = key_of("coarse", self._cache_key, int(cfg.vf_mode),
                     int(cfg.connection_mode), cfg.divergence_free) \
             if use_cache else ""
+        _t0 = time.time()
         d = cached("coarse", ck, compute, enabled=use_cache)
+        self.init_profile["coarse_load"] = round(time.time() - _t0, 2)
 
         dt = self.dtype
         ch = BasisHost(bytes(d["ch_name"]).decode(), int(d["ch_n"]),
@@ -691,6 +694,8 @@ class FlowProblem:
                 k2_dense=as_dev(d["vp_k2"]),
                 p12_idx=jnp.asarray(d["vp_p12_idx"], jnp.int32),
                 p12_wt=jnp.asarray(d["vp_p12_wt"], dt))
+        self.init_profile["coarse_upload"] = round(
+            time.time() - _t0 - self.init_profile["coarse_load"], 2)
         self._ensure_signals()
 
     # -- construction ----------------------------------------------------

@@ -246,6 +246,7 @@ def update_optical_flow(
     backend: str = "auto",  # flow SpMV backend: pallas | xla | auto
     mg_cheb_k: int = 1,     # Chebyshev order of the inner coarse-1 solve
     mg_coarse_exact: bool = False,  # banded-Cholesky exact c1 solve
+    mg_nu: int = 2,         # Jacobi smoothing steps per MG half-cycle
     refine_tol: float = 3e-9,
     refine_floor: float = 1e-5,
 ):
@@ -322,7 +323,7 @@ def update_optical_flow(
                 # With the exact banded c1 the dense patch coarsest is never
                 # touched — skip assembling/uploading it entirely.
                 solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
-                                         None, cheb_k=mg_cheb_k,
+                                         None, cheb_k=mg_cheb_k, nu=mg_nu,
                                          c1_band=c1_band)
                 if solver.c1_l_blocks is None:
                     solver = None   # factorization breakdown: fall back
@@ -331,7 +332,7 @@ def update_optical_flow(
                                         scale, vf_smooth_weight,
                                         patch.s2_dense)
                 solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
-                                         a2, cheb_k=mg_cheb_k)
+                                         a2, cheb_k=mg_cheb_k, nu=mg_nu)
         elif patch is not None:
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,

@@ -159,6 +159,104 @@ def band_cholesky(s_blocks, shift, nb: int, bw: int):
     return l_blocks, ~jnp.any(bads)
 
 
+# ----------------------------------------------------------------------------
+# Panelized solves: fewer, fatter scan steps
+#
+# The factorization runs at nb=128 (small dense windows keep the Schur
+# update cheap), but the SOLVES are pure latency: ~2*(n/nb) sequential scan
+# steps of tiny triangular solves (938 steps ~ 22 ms at n=60k on the
+# tunneled runtime) applied once per PCG iteration. Reblocking the factor
+# into panels of S = k*nb columns with PREINVERTED S x S diagonal blocks
+# turns each step into two dense matmuls and cuts the step count k-fold;
+# the panel layout is built once per factorization from the band blocks
+# (every L nonzero lives within bw rows of its column, so the panel window
+# (S+bw, S) captures the whole panel).
+# ----------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def build_solve_panels(l_blocks, k: int):
+    """Reblock an (m, nb+bw, nb) Cholesky factor into solve panels.
+
+    Returns (dinv (mp, S, S), pbelow (mp, bw, S)) with S = k*nb and
+    mp = ceil(m/k): dinv is the INVERSE of the lower-triangular S x S
+    diagonal panel, pbelow the band below it. Requires S <= bw (the solve
+    scans shift their bw-row accumulator window by S each step)."""
+    m, nbbw, nb = l_blocks.shape
+    bw = nbbw - nb
+    s = k * nb
+    if s > bw:
+        raise ValueError(f"panel width {s} exceeds band width {bw}")
+    mp = -(-m // k)
+    if mp * k > m:
+        eye_blk = jnp.zeros((mp * k - m, nbbw, nb), l_blocks.dtype) \
+            .at[:, :nb, :].set(jnp.eye(nb, dtype=l_blocks.dtype))
+        l_blocks = jnp.concatenate([l_blocks, eye_blk], axis=0)
+    lb = l_blocks.reshape(mp, k, nbbw, nb)
+    panel = jnp.zeros((mp, s + bw, k, nb), l_blocks.dtype)
+    for t in range(k):
+        panel = panel.at[:, t * nb: t * nb + nbbw, t, :].set(lb[:, t])
+    panel = panel.reshape(mp, s + bw, s)
+    dpan = panel[:, :s, :]
+    eye = jnp.eye(s, dtype=l_blocks.dtype)
+    dinv = jax.vmap(lambda a: lax.linalg.triangular_solve(
+        a, eye, left_side=True, lower=True))(dpan)
+    return dinv, panel[:, s:, :]
+
+
+def panel_lower_solve(dinv, pbelow, rhs_panels):
+    """y from L y = rhs on the panel layout; rhs_panels (mp, S, c)."""
+    s = dinv.shape[1]
+    bw = pbelow.shape[1]
+    c = rhs_panels.shape[-1]
+
+    def step(acc, inp):
+        di, pb, r = inp
+        y = di @ (r - acc[:s])
+        acc_next = jnp.concatenate([acc[s:], jnp.zeros((s, c), acc.dtype)],
+                                   axis=0) + pb @ y
+        return acc_next, y
+
+    acc0 = jnp.zeros((bw, c), rhs_panels.dtype)
+    _, y = lax.scan(step, acc0, (dinv, pbelow, rhs_panels))
+    return y
+
+
+def panel_upper_solve(dinv, pbelow, y_panels):
+    """x from L^T x = y (reverse scan) on the panel layout."""
+    s = dinv.shape[1]
+    bw = pbelow.shape[1]
+    c = y_panels.shape[-1]
+
+    def step(xwin, inp):
+        di, pb, y = inp
+        t = y - pb.T @ xwin
+        x = di.T @ t
+        xwin_next = jnp.concatenate([x, xwin[: bw - s]], axis=0)
+        return xwin_next, x
+
+    xwin0 = jnp.zeros((bw, c), y_panels.dtype)
+    _, x = lax.scan(step, xwin0, (dinv, pbelow, y_panels), reverse=True)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def band_solve_panels(dinv, pbelow, perm, inv_perm, b, n: int):
+    """x = A^{-1} b through the panelized factorization."""
+    squeeze = b.ndim == 1
+    bc = b[:, None] if squeeze else b
+    c = bc.shape[1]
+    mp, s, _ = dinv.shape
+    bp = bc.astype(jnp.float32)[perm]
+    pad = mp * s - n
+    bp = jnp.concatenate([bp, jnp.zeros((pad, c), bp.dtype)], axis=0) \
+        if pad else bp
+    y = panel_lower_solve(dinv, pbelow, bp.reshape(mp, s, c))
+    x = panel_upper_solve(dinv, pbelow, y)
+    xp = x.reshape(mp * s, c)[:n]
+    out = xp[inv_perm].astype(b.dtype)
+    return out[:, 0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "bw"))
 def band_lower_solve(l_blocks, rhs_blocks, nb: int, bw: int):
     """y from L y = rhs; rhs_blocks (m, nb, c)."""
@@ -227,13 +325,18 @@ class BandedCholeskySolver:
         x = solver.solve(b)                         # cheap, multi-rhs OK
     """
 
-    def __init__(self, pattern: BandPattern, interpret: bool = False):
+    def __init__(self, pattern: BandPattern, interpret: bool = False,
+                 solve_panel_k: int = 4):
         self.pat = pattern
         self.slots = jnp.asarray(pattern.slots)
         self.perm = jnp.asarray(pattern.perm, jnp.int32)
         self.inv_perm = jnp.asarray(pattern.inv_perm, jnp.int32)
         self.l_blocks = None
         self.shift_used = 0.0
+        # Panelized solves (see build_solve_panels): S = k*nb <= bw.
+        self.panel_k = max(1, min(solve_panel_k, pattern.bw // pattern.nb))
+        self.dinv = None
+        self.pbelow = None
 
     def factor(self, ell_vals, diag: Optional[jnp.ndarray] = None,
                rel_shifts: Tuple[float, ...] = (0.0, 1e-6, 1e-4, 1e-2,
@@ -253,6 +356,8 @@ class BandedCholeskySolver:
             if bool(ok):
                 self.l_blocks = l_blocks
                 self.shift_used = rel * dmax
+                self.dinv, self.pbelow = build_solve_panels(l_blocks,
+                                                            self.panel_k)
                 return self
         raise RuntimeError("banded Cholesky breakdown at every shift")
 
@@ -260,6 +365,9 @@ class BandedCholeskySolver:
         if self.l_blocks is None:
             raise RuntimeError("factor() before solve()")
         pat = self.pat
+        if self.dinv is not None:
+            return band_solve_panels(self.dinv, self.pbelow, self.perm,
+                                     self.inv_perm, b, pat.n)
         return band_solve(self.l_blocks, self.perm, self.inv_perm, b,
                           pat.nb, pat.bw, pat.n)
 
@@ -268,9 +376,9 @@ class BandedCholeskySolver:
 # Banded-preconditioned PCG: the shift-invert inner solver
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iters", "n", "nb", "bw"))
-def _bpcg_chunk(cols, vals, l_blocks, perm, inv_perm, x, r, z, p, rz,
-                iters: int, n: int, nb: int, bw: int):
+@functools.partial(jax.jit, static_argnames=("iters", "n"))
+def _bpcg_chunk(cols, vals, dinv, pbelow, perm, inv_perm, x, r, z, p, rz,
+                iters: int, n: int):
     def matvec(v):
         return jnp.sum(vals * v[cols], axis=1)
 
@@ -281,7 +389,7 @@ def _bpcg_chunk(cols, vals, l_blocks, perm, inv_perm, x, r, z, p, rz,
         alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        z = band_solve(l_blocks, perm, inv_perm, r, nb, bw, n).astype(r.dtype)
+        z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
         rz_new = jnp.vdot(r, z)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
@@ -323,8 +431,8 @@ def ell_pcg_banded(cols, vals, solver: "BandedCholeskySolver", b,
     while done < max_iters and r2 > threshold:
         iters = min(chunk, max_iters - done)
         x, r, z, p, rz, r2_dev = _bpcg_chunk(
-            cols, vals, solver.l_blocks, solver.perm, solver.inv_perm,
-            x, r, z, p, rz, iters, pat.n, pat.nb, pat.bw)
+            cols, vals, solver.dinv, solver.pbelow, solver.perm,
+            solver.inv_perm, x, r, z, p, rz, iters, pat.n)
         r2 = float(r2_dev)
         done += iters
     from meshopticalflow_tpu.solvers.cg import CGStats

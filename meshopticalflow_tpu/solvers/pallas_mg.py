@@ -240,9 +240,10 @@ class BandedC1:
 
     tile_to_band / band_to_tile are the composed gather maps between the
     c1 TILE flat order (pack.c1_pat.row_perm) and the band's RCM order, so
-    the solve plugs into the cycle with two cheap gathers. l_blocks is the
-    per-level factorization (values change per Gauss-Newton level; the
-    pattern and maps are static and artifact-cached)."""
+    the solve plugs into the cycle with two cheap gathers. The per-level
+    factorization itself is held by the solver as panelized (dinv, pbelow)
+    arrays (values change per Gauss-Newton level; the pattern and maps are
+    static and artifact-cached)."""
 
     slots: jnp.ndarray          # ELL-entry -> band slot map (static)
     tile_to_band: jnp.ndarray   # (m*nb,) band row i <- c1-tile flat index
@@ -280,13 +281,17 @@ def build_c1_band(pack: MGPack, c1_ell_cols: np.ndarray, nb: int = 128,
                     nb=nb_, bw=bw, m=m, n1=n1)
 
 
-def _inner1_exact(l_blocks, band: BandedC1, r1):
-    """z1 = A1^{-1} r1 through the banded factorization; r1 in tile space.
+def _inner1_exact(dinv, pbelow, band: BandedC1, r1):
+    """z1 = A1^{-1} r1 through the PANELIZED banded factorization
+    (solvers/banded.py build_solve_panels: preinverted S x S diagonal
+    panels turn each scan step into two dense matmuls and cut the
+    sequential step count ~k-fold vs the nb=128 band scan — the solve is
+    pure latency, applied once per outer PCG iteration); r1 in tile space.
 
     Handles both the single-rhs (nr1, 128) and multi-rhs (nr1, 8, 128)
     tile layouts."""
-    from meshopticalflow_tpu.solvers.banded import (band_lower_solve,
-                                                    band_upper_solve)
+    from meshopticalflow_tpu.solvers.banded import (panel_lower_solve,
+                                                    panel_upper_solve)
 
     multi = r1.ndim == 3
     if multi:
@@ -295,10 +300,14 @@ def _inner1_exact(l_blocks, band: BandedC1, r1):
         flat = r1.reshape(-1)[:, None]                     # (nr1*128, 1)
     c = flat.shape[1]
     flat_pad = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)], axis=0)
-    rhs = flat_pad[band.tile_to_band].reshape(band.m, band.nb, c)
-    y = band_lower_solve(l_blocks, rhs, band.nb, band.bw)
-    x = band_upper_solve(l_blocks, y, band.nb, band.bw)
-    x_flat = x.reshape(band.m * band.nb, c)
+    rhs = flat_pad[band.tile_to_band]                      # (m*nb, c)
+    mp, s, _ = dinv.shape
+    pad = mp * s - rhs.shape[0]
+    if pad:
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad, c), rhs.dtype)], axis=0)
+    y = panel_lower_solve(dinv, pbelow, rhs.reshape(mp, s, c))
+    x = panel_upper_solve(dinv, pbelow, y)
+    x_flat = x.reshape(mp * s, c)
     x_tile = x_flat[band.band_to_tile]                     # (n1, c)
     nfull = flat.shape[0]
     out = jnp.zeros((nfull, c), x_tile.dtype).at[: band.n1].set(x_tile)
@@ -347,15 +356,34 @@ def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
     return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
 
 
-def _band_from_args(l_blocks, t2b, b2t) -> BandedC1:
+def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag):
+    """Factor the c1 system on its band layout and reblock into solve
+    panels. Returns (dinv, pbelow), or (None, None) on total breakdown
+    (caller falls back to the 3-level cycle)."""
+    from meshopticalflow_tpu.solvers.banded import (band_cholesky,
+                                                    band_revalue,
+                                                    build_solve_panels)
+
+    s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
+                            c1_band.m, c1_band.nb, c1_band.bw, c1_band.n1)
+    dmax = float(jnp.max(jnp.abs(c1_diag)))
+    for rel in (0.0, 1e-6, 1e-4, 1e-2):
+        l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
+                                     c1_band.nb, c1_band.bw)
+        if bool(ok):
+            k = max(1, min(4, c1_band.bw // c1_band.nb))
+            return build_solve_panels(l_blocks, k)
+    return None, None
+
+
+def _band_from_args(t2b, b2t) -> BandedC1:
     """Reconstruct the static band metadata from argument shapes (all
     shape-derived, so this is jit-trace-safe without a registry)."""
-    m, nbbw, nb = l_blocks.shape
     return BandedC1(slots=None, tile_to_band=t2b, band_to_tile=b2t,
-                    nb=nb, bw=nbbw - nb, m=m, n1=b2t.shape[0])
+                    nb=0, bw=0, m=0, n1=b2t.shape[0])
 
 
-def _cycle_exact(fine_bf, f_invd, l_blocks, band: BandedC1, pack: MGPack,
+def _cycle_exact(fine_bf, f_invd, dinv, pbelow, band: BandedC1, pack: MGPack,
                  r_t, omega, nu: int):
     """Two-level V-cycle with the EXACT banded c1 solve — the measured
     ~59-iteration configuration (scripts/exp_mg.py mg2_exact_nu2) that the
@@ -363,14 +391,14 @@ def _cycle_exact(fine_bf, f_invd, l_blocks, band: BandedC1, pack: MGPack,
     z = _jac(fine_bf.apply, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
     res = r_t - fine_bf.apply(z)
     r1 = pack.p0t.apply(res)
-    z1 = _inner1_exact(l_blocks, band, r1)
+    z1 = _inner1_exact(dinv, pbelow, band, r1)
     z = z + pack.p0.apply(z1)
     return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
 def _pcg_chunk_banded_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc,
-                           fine_bf_vals, f_invd, l_blocks, t2b, b2t,
+                           fine_bf_vals, f_invd, dinv, pbelow, t2b, b2t,
                            p0_tc, p0_vals, p0t_tc, p0t_vals,
                            x, r, p, rz, omega, nu: int, iters: int, pack_id):
     """PCG chunk with the banded-exact coarse cycle as preconditioner."""
@@ -384,11 +412,12 @@ def _pcg_chunk_banded_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc,
                            interpret=pack.interpret),
         p0t=PallasEll(pack.p0t.pattern, p0t_tc, p0t_vals,
                       interpret=pack.interpret))
-    band = _band_from_args(l_blocks, t2b, b2t)
+    band = _band_from_args(t2b, b2t)
 
     def body(_, s):
         x, r, p, rz_old = s
-        z = _cycle_exact(fine_bf, f_invd, l_blocks, band, pack, r, omega, nu)
+        z = _cycle_exact(fine_bf, f_invd, dinv, pbelow, band, pack, r,
+                         omega, nu)
         rz = jnp.vdot(r, z)
         beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
         p = z + beta * p
@@ -513,6 +542,40 @@ def _register_pack(pack: MGPack) -> int:
     return uid
 
 
+def _next_chunk(r2, threshold, rho, chunk: int) -> int:
+    """Adaptive PCG chunk sizing. The exit test runs once per chunk (a host
+    round trip), so a fixed chunk overshoots convergence by up to chunk-1
+    iterations — measured 48 recorded vs ~30 needed per refinement round at
+    the 2K bench (scripts/exp_nu.py). Given the per-iteration squared-
+    residual contraction ``rho`` observed on earlier chunks (the system is
+    identical across a solve's chunks and nearly so across refinement
+    rounds), size the next chunk to the predicted remaining iterations
+    plus a small margin. Pure scheduling: the exit condition itself is
+    unchanged, an undershoot just costs one more (small) chunk.
+
+    Sizes are quantized to {chunk, chunk/2, chunk/4, chunk/8} — the chunk
+    length is a STATIC argument of the jitted PCG programs, and compiles
+    cost tens of seconds on this backend."""
+    import math
+
+    if rho is None or not (0.0 < rho < 1.0) or r2 <= threshold or r2 <= 0:
+        return chunk
+    need = math.log(threshold / r2) / math.log(rho) + 2.0
+    for div in (8, 4, 2):
+        cand = max(chunk // div, 1)
+        if cand >= need:
+            return cand
+    return chunk
+
+
+def _update_rho(rho, r2_before, r2_after, iters: int):
+    """Per-iteration squared-residual contraction estimate (None-safe)."""
+    if r2_before <= 0 or r2_after <= 0 or r2_after >= r2_before:
+        return rho
+    new = (r2_after / r2_before) ** (1.0 / max(iters, 1))
+    return new if rho is None else 0.5 * (rho + new)
+
+
 class PallasMG3Solver:
     """Drop-in ThreeLevelSolver equivalent on the Pallas kernels."""
 
@@ -525,22 +588,17 @@ class PallasMG3Solver:
         self.pack_id = _register_pack(pack)
         # Exact banded c1 factorization (per level: one scatter + one scan;
         # the escalating-shift retry costs one scalar fetch per attempt).
+        # The factor is immediately reblocked into solve panels
+        # (build_solve_panels) — the per-iteration triangular solves are
+        # latency-bound scans, and the panel layout cuts their sequential
+        # step count ~4x.
         self.c1_band = c1_band
-        self.c1_l_blocks = None
+        self.c1_dinv = None
+        self.c1_pbelow = None
         if c1_band is not None:
-            from meshopticalflow_tpu.solvers.banded import (band_cholesky,
-                                                            band_revalue)
-            s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
-                                    c1_band.m, c1_band.nb, c1_band.bw,
-                                    c1_band.n1)
-            dmax = float(jnp.max(jnp.abs(c1_diag)))
-            for rel in (0.0, 1e-6, 1e-4, 1e-2):
-                l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
-                                             c1_band.nb, c1_band.bw)
-                if bool(ok):
-                    self.c1_l_blocks = l_blocks
-                    break
-            # on total breakdown fall back to the 3-level cycle (c1_l_blocks
+            self.c1_dinv, self.c1_pbelow = _factor_c1_panels(
+                c1_band, c1_ell_vals, c1_diag)
+            # on total breakdown fall back to the 3-level cycle (c1_dinv
             # stays None)
         dtype = jnp.float32
         tc_f = tile_cols_dev(pack.fine_pat)
@@ -573,11 +631,19 @@ class PallasMG3Solver:
             eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
             self.chol2 = jnp.linalg.cholesky(
                 a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
-        if self.c1_l_blocks is None and self.chol2 is None:
+        if self.c1_dinv is None and self.chol2 is None:
             raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, dtype)
         self.nu = nu
         self._cheb_bounds = None
+        self._rho = None   # adaptive-chunk contraction estimate
+
+    @property
+    def c1_l_blocks(self):
+        """Back-compat flag: non-None iff the exact banded c1 path is
+        active (the factor itself is stored panelized as c1_dinv /
+        c1_pbelow)."""
+        return self.c1_dinv
 
     @property
     def gb_per_iter(self) -> float:
@@ -621,12 +687,14 @@ class PallasMG3Solver:
         done = 0
         r2 = b_norm2
         while done < max_iters and r2 > threshold:
-            iters = min(chunk, max_iters - done)
-            if self.c1_l_blocks is not None:
+            iters = min(_next_chunk(r2, threshold, self._rho, chunk),
+                        max_iters - done)
+            r2_before = r2
+            if self.c1_dinv is not None:
                 x, r, p, rz, r2_dev = _pcg_chunk_banded_impl(
                     self.fine_f32.tile_cols, self.fine_f32.vals_t,
                     self.fine_bf.tile_cols, self.fine_bf.vals_t,
-                    self.f_invd, self.c1_l_blocks,
+                    self.f_invd, self.c1_dinv, self.c1_pbelow,
                     self.c1_band.tile_to_band, self.c1_band.band_to_tile,
                     pack.p0.tile_cols, pack.p0.vals_t,
                     pack.p0t.tile_cols, pack.p0t.vals_t,
@@ -644,6 +712,7 @@ class PallasMG3Solver:
                     self.cheb_k, cheb_lmin, cheb_lmax)
             r2 = float(r2_dev)
             done += iters
+            self._rho = _update_rho(self._rho, r2_before, r2, iters)
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
         x_out = from_tiles(x, pack.fine_inv_perm, pack.n_fine).astype(b.dtype)
         return x_out, CGStats(jnp.asarray(done, jnp.int32),
@@ -661,9 +730,9 @@ def _solver_gb_per_iter(solver) -> float:
     nu = solver.nu
     gb = (2 * nu * solver.fine_bf.gigabytes + solver.fine_f32.gigabytes
           + solver.pack.p0.gigabytes + solver.pack.p0t.gigabytes)
-    if solver.c1_l_blocks is not None:
-        lb = solver.c1_l_blocks
-        gb += 2 * lb.size * lb.dtype.itemsize / 1e9
+    if solver.c1_dinv is not None:
+        gb += 2 * (solver.c1_dinv.size * solver.c1_dinv.dtype.itemsize
+                   + solver.c1_pbelow.size * solver.c1_pbelow.dtype.itemsize) / 1e9
     else:
         k = max(int(getattr(solver, "cheb_k", 1)), 1)
         gb += k * 2 * nu * solver.c1_bf.gigabytes
@@ -711,20 +780,20 @@ def _cycle_m(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t,
     return _jac_m(fine_bf, f_invd, r_t, z, omega, nu)
 
 
-def _cycle_m_exact(fine_bf, f_invd, l_blocks, band: BandedC1, pack: MGPack,
-                   r_t, omega, nu: int):
+def _cycle_m_exact(fine_bf, f_invd, dinv, pbelow, band: BandedC1,
+                   pack: MGPack, r_t, omega, nu: int):
     """Multi-rhs 2-level V-cycle with the exact banded c1 solve."""
     z = _jac_m(fine_bf, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
     res = r_t - _apply_multi(fine_bf, z)
     r1 = _apply_multi(pack.p0t, res)
-    z1 = _inner1_exact(l_blocks, band, r1)
+    z1 = _inner1_exact(dinv, pbelow, band, r1)
     z = z + _apply_multi(pack.p0, z1)
     return _jac_m(fine_bf, f_invd, r_t, z, omega, nu)
 
 
 @functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
 def _pcg_chunk_multi_banded(fine_f32_tc, fine_f32_vals, fine_bf_tc,
-                            fine_bf_vals, f_invd, l_blocks, t2b, b2t,
+                            fine_bf_vals, f_invd, dinv, pbelow, t2b, b2t,
                             p0_tc, p0_vals, p0t_tc, p0t_vals,
                             x, r, p, rz, omega, nu: int, iters: int, pack_id):
     pack = _PACKS[pack_id]
@@ -737,11 +806,12 @@ def _pcg_chunk_multi_banded(fine_f32_tc, fine_f32_vals, fine_bf_tc,
                            interpret=pack.interpret),
         p0t=PallasEll(pack.p0t.pattern, p0t_tc, p0t_vals,
                       interpret=pack.interpret))
-    band = _band_from_args(l_blocks, t2b, b2t)
+    band = _band_from_args(t2b, b2t)
 
     def body(_, s):
         x, r, p, rz_old = s
-        z = _cycle_m_exact(fine_bf, f_invd, l_blocks, band, pack, r, omega, nu)
+        z = _cycle_m_exact(fine_bf, f_invd, dinv, pbelow, band, pack, r,
+                           omega, nu)
         rz = _dots_m(r, z)
         beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
         p = z + beta[None, :, None] * p
@@ -806,20 +876,11 @@ class PallasMG3MultiSolver:
         self.pack = pack
         self.pack_id = _register_pack(pack)
         self.c1_band = c1_band
-        self.c1_l_blocks = None
+        self.c1_dinv = None
+        self.c1_pbelow = None
         if c1_band is not None:
-            from meshopticalflow_tpu.solvers.banded import (band_cholesky,
-                                                            band_revalue)
-            s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
-                                    c1_band.m, c1_band.nb, c1_band.bw,
-                                    c1_band.n1)
-            dmax = float(jnp.max(jnp.abs(c1_diag)))
-            for rel in (0.0, 1e-6, 1e-4, 1e-2):
-                l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
-                                             c1_band.nb, c1_band.bw)
-                if bool(ok):
-                    self.c1_l_blocks = l_blocks
-                    break
+            self.c1_dinv, self.c1_pbelow = _factor_c1_panels(
+                c1_band, c1_ell_vals, c1_diag)
         tc_f = tile_cols_dev(pack.fine_pat)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
                                   pack.fine_pat.bucket_sizes)
@@ -849,10 +910,18 @@ class PallasMG3MultiSolver:
             eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
             self.chol2 = jnp.linalg.cholesky(
                 a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
-        if self.c1_l_blocks is None and self.chol2 is None:
+        if self.c1_dinv is None and self.chol2 is None:
             raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, jnp.float32)
         self.nu = nu
+        self._rho = None   # adaptive-chunk contraction estimate
+
+    @property
+    def c1_l_blocks(self):
+        """Back-compat flag: non-None iff the exact banded c1 path is
+        active (the factor itself is stored panelized as c1_dinv /
+        c1_pbelow)."""
+        return self.c1_dinv
 
     @property
     def gb_per_iter(self) -> float:
@@ -883,12 +952,14 @@ class PallasMG3MultiSolver:
         done = 0
         r2 = b_norm2
         while done < max_iters and r2 > threshold:
-            iters = min(chunk, max_iters - done)
-            if self.c1_l_blocks is not None:
+            iters = min(_next_chunk(r2, threshold, self._rho, chunk),
+                        max_iters - done)
+            r2_before = r2
+            if self.c1_dinv is not None:
                 x, r, p, rz, r2_dev = _pcg_chunk_multi_banded(
                     self.fine_f32.tile_cols, self.fine_f32.vals_t,
                     self.fine_bf.tile_cols, self.fine_bf.vals_t,
-                    self.f_invd, self.c1_l_blocks,
+                    self.f_invd, self.c1_dinv, self.c1_pbelow,
                     self.c1_band.tile_to_band, self.c1_band.band_to_tile,
                     pack.p0.tile_cols, pack.p0.vals_t,
                     pack.p0t.tile_cols, pack.p0t.vals_t,
@@ -905,6 +976,7 @@ class PallasMG3MultiSolver:
                     x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
             r2 = float(r2_dev)
             done += iters
+            self._rho = _update_rho(self._rho, r2_before, r2, iters)
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
         x_out = from_tiles_multi(x, pack.fine_inv_perm, pack.n_fine, c)
         return x_out.astype(b.dtype), CGStats(jnp.asarray(done, jnp.int32),

@@ -52,7 +52,8 @@ def main():
     print(json.dumps({"init_s": round(stages["init_s"], 2),
                       "tris": prob.mesh.n_triangles,
                       "verts": prob.mesh.n_vertices,
-                      "coeffs": prob.arrays.basis.n_coeffs}), flush=True)
+                      "coeffs": prob.arrays.basis.n_coeffs,
+                      "init_profile": prob.init_profile}), flush=True)
 
     coeffs, tfield = prob.coeffs, prob.tfield
     s_weight = cfg.scalar_smooth_weight

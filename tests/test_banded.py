@@ -82,6 +82,32 @@ def test_banded_multi_rhs_and_dtype():
         assert np.linalg.norm(x[:, k] - x_ref) / np.linalg.norm(x_ref) < 5e-5
 
 
+@pytest.mark.parametrize("n,nb,k", [(1000, 64, 4), (513, 32, 2), (700, 64, 1)])
+def test_panel_solve_matches_block_solve(n, nb, k):
+    """The panelized triangular solves (build_solve_panels) must reproduce
+    the nb-block band solve to f32 roundoff — same factor, different
+    blocking of the substitution."""
+    from meshopticalflow_tpu.solvers.banded import band_solve, band_solve_panels, build_solve_panels
+
+    rng = np.random.default_rng(n + k)
+    a = _mesh_like_spd(n, rng)
+    cols, vals = _to_ell(a)
+    pat = build_band_pattern(cols, nb=nb, bw_pad=k * nb)
+    solver = BandedCholeskySolver(pat, solve_panel_k=1).factor(
+        jnp.asarray(vals, jnp.float32))
+    b = rng.normal(size=(n, 3)).astype(np.float32)
+    x_block = np.asarray(band_solve(solver.l_blocks, solver.perm,
+                                    solver.inv_perm, jnp.asarray(b),
+                                    pat.nb, pat.bw, pat.n))
+    dinv, pbelow = build_solve_panels(solver.l_blocks, k)
+    assert dinv.shape[1] == k * nb and pbelow.shape[1] == pat.bw
+    x_panel = np.asarray(band_solve_panels(dinv, pbelow, solver.perm,
+                                           solver.inv_perm, jnp.asarray(b),
+                                           pat.n))
+    ref = np.linalg.norm(x_block) + 1e-30
+    assert np.linalg.norm(x_panel - x_block) / ref < 2e-5
+
+
 def test_banded_shift_escalation_on_indefinite():
     """A nearly-semidefinite system triggers the escalating shift rather
     than returning NaNs (the f32 analog of LDLt robustness)."""
