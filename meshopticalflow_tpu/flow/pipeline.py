@@ -189,10 +189,27 @@ def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if vcoarse is not None and vpatch is not None and backend == "pallas":
         solver, b = _vertex_pallas_solver(arrays, vcoarse, vpatch, s_weight)
-        out, stats = solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
-                                  max_iters=min(config.cg_max_iters, 200))
-        _LAST_SMOOTH_GB[0] = float(stats.iterations) * solver.gb_per_iter
-        return out, stats
+        if b.shape[1] <= 8:
+            out, stats = solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
+                                      max_iters=min(config.cg_max_iters, 200))
+            _LAST_SMOOTH_GB[0] = float(stats.iterations) * solver.gb_per_iter
+            return out, stats
+        # channels=6 (0<dogWeight<1) stacks 12 signal columns; the tile
+        # layout carries 8 per sublane pass — solve in two halves.
+        half = (b.shape[1] + 1) // 2
+        outs, total_iters, worst = [], 0, 0.0
+        for sl in (slice(0, half), slice(half, None)):
+            o, st = solver.solve(b[:, sl], x0=arrays.signals[:, sl],
+                                 tol=config.cg_tol,
+                                 max_iters=min(config.cg_max_iters, 200))
+            outs.append(o)
+            total_iters += int(st.iterations)
+            worst = max(worst, float(st.rel_residual))
+        from meshopticalflow_tpu.solvers.cg import CGStats
+        stats = CGStats(jnp.asarray(total_iters, jnp.int32),
+                        jnp.asarray(worst, b.dtype))
+        _LAST_SMOOTH_GB[0] = float(total_iters) * solver.gb_per_iter
+        return jnp.concatenate(outs, axis=1), stats
     if vcoarse is not None:
         from meshopticalflow_tpu.flow.signal import _smooth_system
         sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
@@ -443,6 +460,7 @@ class FlowProblem:
         cache_key: Optional[str] = None,
         device_mesh=None,   # jax.sharding.Mesh: run the SAME pipeline sharded
         defer_signals: bool = False,  # preprocess after the MG hierarchy exists
+        signals_key: Optional[str] = None,  # artifact key for the preprocessed signals
     ):
         enable_persistent_cache()
         # Establish the device->host result channel while the tunnel is
@@ -458,6 +476,7 @@ class FlowProblem:
         self.config = config
         self.mesh = mesh
         self._cache_key = cache_key
+        self._signals_key = signals_key
         self.init_profile: Dict[str, float] = {}
         _t = time.time()
 
@@ -489,7 +508,10 @@ class FlowProblem:
         _mark("preprocess_signals")
 
         self.texture_source = texture_source
-        self.textures = None if textures is None else jnp.asarray(textures, dtype)
+        # Upload the u8 pixels (12.5 MB each at 2K) and cast on DEVICE —
+        # a float32 host cast would quadruple the tunnel upload bytes.
+        self.textures = None if textures is None else \
+            jnp.asarray(textures).astype(dtype)
         self.tri_uvs = None if tri_uvs is None else jnp.asarray(tri_uvs, dtype)
         self.vertex_colors = None if vertex_colors is None else jnp.asarray(vertex_colors, dtype)
         if self.textures is not None:
@@ -519,9 +541,31 @@ class FlowProblem:
             return
         import time as _time
         _t0 = _time.time()
-        sig = _preprocess_signals(self.arrays.smooth_ops, self._signals_raw,
-                                  self.config, getattr(self, "vcoarse", None),
-                                  getattr(self, "vpatch", None))
+        cfg = self.config
+        key = ""
+        if self._signals_key and cfg.artifact_cache and cfg.dog_weight > 0:
+            # The preprocessed signals contain an iterative-solve result, so
+            # the key pins everything that shapes it — including the
+            # platform (a CPU test run must not consume TPU-solved bands,
+            # and vice versa).
+            from meshopticalflow_tpu.utils.artifacts import key_of
+            key = key_of("sigpre", self._signals_key, cfg.dog_weight,
+                         cfg.dog_smooth, cfg.log_space, cfg.channels,
+                         cfg.dtype, cfg.cg_tol, cfg.flow_backend,
+                         jax.default_backend(),
+                         getattr(self, "vcoarse", None) is not None,
+                         getattr(self, "vpatch", None) is not None)
+        from meshopticalflow_tpu.utils.artifacts import cached
+
+        def compute():
+            sig_ = _preprocess_signals(self.arrays.smooth_ops,
+                                       self._signals_raw, cfg,
+                                       getattr(self, "vcoarse", None),
+                                       getattr(self, "vpatch", None))
+            return dict(sig=np.asarray(sig_))
+
+        sig = jnp.asarray(cached("sigpre", key, compute,
+                                 enabled=bool(key))["sig"], self.dtype)
         sig.block_until_ready()
         if self.device_mesh is not None and \
                 sig.shape[0] % self.device_mesh.devices.size == 0:
@@ -755,9 +799,15 @@ class FlowProblem:
             raise ValueError(f"texture shapes differ: {tex0.shape} vs {tex1.shape}")
         n_vertices = int(tris.max()) + 1
         _t0 = time.time()
-        signals = np.stack([
-            sample_texture_to_vertices(tris, uvs, t, n_vertices, not config.nearest)
-            for t in (tex0, tex1)])
+        tex_hashes = (file_hash(texture_paths[0]), file_hash(texture_paths[1]))
+        bake_key = key_of("bake", geo_key, *tex_hashes, config.nearest)
+        signals = cached(
+            "bake", bake_key,
+            lambda: dict(signals=np.stack([
+                sample_texture_to_vertices(tris, uvs, t, n_vertices,
+                                           not config.nearest)
+                for t in (tex0, tex1)])),
+            enabled=config.artifact_cache)["signals"]
         _bake_s = round(time.time() - _t0, 2)
         h, w = tex0.shape[:2]
         _t0 = time.time()
@@ -767,7 +817,8 @@ class FlowProblem:
         problem = cls(config, mesh, signals, vertices=verts, texture_source=src,
                       tri_uvs=uvs, textures=np.stack([tex0, tex1]),
                       cache_key=geo_key, defer_signals=will_attach,
-                      device_mesh=device_mesh)
+                      device_mesh=device_mesh,
+                      signals_key=key_of("sig", geo_key, *tex_hashes))
         problem.init_profile.update(geom=_geom_s, bake=_bake_s, raster=_raster_s)
         if will_attach:
             _t0 = time.time()
@@ -966,6 +1017,18 @@ class FlowProblem:
             "texels_per_sec": round(2 * h * w / max(secs, 1e-9), 1)}
         return result
 
+    def _ensure_advect_order(self) -> None:
+        """March lanes sorted by starting triangle: the per-step fused-row
+        gathers hit coherent table rows (~13% measured on the 2K advect).
+        The permutation is static per problem; outputs scatter back to
+        raster order."""
+        if getattr(self, "_advect_order", None) is None:
+            order_h = np.argsort(np.asarray(self.src_t), kind="stable")
+            order = jnp.asarray(order_h, jnp.int32)
+            self._advect_order = order
+            self._advect_src_t = jnp.asarray(self.src_t)[order]
+            self._advect_src_p = jnp.asarray(self.src_p)[order]
+
     def _advect_one_texture(self, s: int, alpha: float):
         """Advect texture ``s`` to the halfway point; returns the flat
         (H*W, 3) float colors ON DEVICE (raster order, unclaimed texels
@@ -975,17 +1038,7 @@ class FlowProblem:
         from meshopticalflow_tpu.kernels.advect import advect_texture_compacted
 
         cfg = self.config
-        # March lanes sorted by starting triangle: the per-step fused-row
-        # gathers hit coherent table rows (~13% measured on the 2K advect).
-        # The permutation is static per problem; outputs scatter back to
-        # raster order.
-        order = getattr(self, "_advect_order", None)
-        if order is None:
-            order_h = np.argsort(np.asarray(self.src_t), kind="stable")
-            order = jnp.asarray(order_h, jnp.int32)
-            self._advect_order = order
-            self._advect_src_t = jnp.asarray(self.src_t)[order]
-            self._advect_src_p = jnp.asarray(self.src_p)[order]
+        self._ensure_advect_order()
         length = -alpha if s == 0 else 1.0 - alpha
         colors_s, _, _, exhausted = advect_texture_compacted(
             self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
@@ -995,7 +1048,7 @@ class FlowProblem:
         if exhausted:
             print(f"[WARNING] texture advection: {exhausted} texel lanes "
                   f"hit the {cfg.flow_max_steps}-step cap", file=_sys.stderr)
-        colors = jnp.zeros_like(colors_s).at[order].set(colors_s)
+        colors = jnp.zeros_like(colors_s).at[self._advect_order].set(colors_s)
         base = jnp.flipud(self.textures[s]).reshape(-1, 3)
         return jnp.where((self.src_t >= 0)[:, None], colors, base)
 
@@ -1008,11 +1061,43 @@ class FlowProblem:
         tunneled runtime. Blending + clip/uint8-cast on device (same float
         ops and the same truncating cast as the host write path, so the
         output is bit-identical) downloads 12.5 MB once — ~8x fewer d2h
-        bytes. Matches OutputImage semantics (OpticalFlow.cpp:1044-1047)."""
+        bytes. Matches OutputImage semantics (OpticalFlow.cpp:1044-1047).
+
+        Both textures' lanes march in ONE compacted trace (per-lane flow
+        times -alpha / 1-alpha): the compaction batches stay fuller and the
+        host-orchestration overhead is paid once instead of twice. The
+        per-lane float ops are unchanged, so the blend stays bit-identical
+        to the two-pass path."""
+        import sys as _sys
+
+        from meshopticalflow_tpu.kernels.advect import (_fetch_colors,
+                                                        flow_field_trace_compacted)
+
+        cfg = self.config
         src = self.texture_source
         h, w = src.height, src.width
         _t0 = time.time()
-        accum = self._advect_one_texture(0, alpha) + self._advect_one_texture(1, alpha)
+        self._ensure_advect_order()
+        n = self._advect_src_t.shape[0]
+        t2 = jnp.concatenate([self._advect_src_t, self._advect_src_t])
+        p2 = jnp.concatenate([self._advect_src_p, self._advect_src_p])
+        times = jnp.concatenate([
+            jnp.full(n, -alpha, self.dtype),
+            jnp.full(n, 1.0 - alpha, self.dtype)])
+        t1, p1, exhausted = flow_field_trace_compacted(
+            self.arrays.tm, self.tfield, times, t2, p2,
+            cfg.flow_min_step, cfg.flow_max_steps)
+        if exhausted:
+            print(f"[WARNING] texture advection: {exhausted} texel lanes "
+                  f"hit the {cfg.flow_max_steps}-step cap", file=_sys.stderr)
+        accum_s = (_fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[0],
+                                 t1[:n], p1[:n], not cfg.nearest)
+                   + _fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[1],
+                                   t1[n:], p1[n:], not cfg.nearest))
+        accum = jnp.zeros_like(accum_s).at[self._advect_order].set(accum_s)
+        base = (jnp.flipud(self.textures[0]) + jnp.flipud(self.textures[1])) \
+            .reshape(-1, 3)
+        accum = jnp.where((self.src_t >= 0)[:, None], accum, base)
         blend = (accum / 2.0).reshape(h, w, 3)
         q = jnp.clip(blend, 0, 255).astype(jnp.uint8)
         result = np.asarray(q)
