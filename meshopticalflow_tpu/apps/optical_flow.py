@@ -88,6 +88,8 @@ def config_from_args(args) -> FlowConfig:
 
 
 def main(argv=None) -> int:
+    from meshopticalflow_tpu.utils.compat import honor_platform_env
+    honor_platform_env()
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
 

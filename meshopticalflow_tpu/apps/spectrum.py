@@ -3,8 +3,10 @@
 Computes the lowest-k eigenpairs of the vector-field Laplacian (the basis
 smoothness operator against the vector-field mass) and writes
 ``eigenvector-%03d.bin`` dumps byte-compatible with the reference
-(Spectrum.cpp:191-195). The GLUT viewer is out of scope; use --outPrefix to
-choose where the binaries go.
+(Spectrum.cpp:191-195). ``--view DIR`` additionally renders the eigen
+vector fields through the offline viewer (viz/surface.py view_spectrum —
+the SpectrumViewer 'b'/'n' pager analog, Spectrum.cpp:128-145); use
+--outPrefix to choose where the binaries go.
 """
 
 from __future__ import annotations
@@ -40,10 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="quadrature flags for --femDual (1 angular, 2 square-length)")
     p.add_argument("--femLinearFit", action="store_true",
                    help="use the linear-fit Monte-Carlo stiffness (FEM.inl:1840)")
+    p.add_argument("--view", default="",
+                   help="render the eigen vector fields to this directory "
+                        "(interactive pager under a display; PNG frames "
+                        "headless — the reference viewer's 'b'/'n' analog)")
     return p
 
 
 def main(argv=None) -> int:
+    from meshopticalflow_tpu.utils.compat import honor_platform_env
+    honor_platform_env()
     args = build_parser().parse_args(argv)
 
     import jax.numpy as jnp
@@ -99,6 +107,10 @@ def main(argv=None) -> int:
         path = os.path.join(args.outPrefix, f"eigenvector-{i + 1:03d}.bin") \
             if args.outPrefix else f"eigenvector-{i + 1:03d}.bin"
         write_vector(path, field.reshape(-1, 2))
+    if args.view:
+        from meshopticalflow_tpu.viz import view_spectrum
+        view_spectrum(verts, tris, np.asarray(result.triangle_fields),
+                      np.asarray(result.eigenvalues), out_dir=args.view)
     if args.verbose:
         print(json.dumps({"eigenvalues": [float(x) for x in result.eigenvalues]}))
     return 0

@@ -11,7 +11,24 @@ correctly.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative on this runtime.
+
+    The axon TPU plugin registers itself ahead of the env-var selection, so
+    ``JAX_PLATFORMS=cpu python -m …`` can still attach to the tunneled TPU
+    — which hard-crashes the device worker if another process owns it.
+    CLI entry points call this before any other jax use; it re-applies the
+    env choice through jax.config (which the plugin does respect)."""
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def concat_columns(*parts: jnp.ndarray) -> jnp.ndarray:

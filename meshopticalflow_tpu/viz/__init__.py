@@ -1,1 +1,2 @@
-from meshopticalflow_tpu.viz.surface import Camera, render_surface, view_flow
+from meshopticalflow_tpu.viz.surface import (Camera, render_surface,
+                                             view_flow, view_spectrum)

@@ -258,3 +258,80 @@ def view_flow(problem, out_dir: str = ".", interactive: Optional[bool] = None,
     redraw()
     plt.show()
     return state["level"]
+
+
+def view_spectrum(verts: np.ndarray, tris: np.ndarray,
+                  triangle_fields: np.ndarray,        # (K, T, 2)
+                  eigenvalues: Optional[np.ndarray] = None,
+                  out_dir: str = ".", interactive: Optional[bool] = None,
+                  camera: Optional[Camera] = None, glyph_scale: float = 1.0):
+    """Eigen-vector-field pager — the SpectrumViewer analog
+    (Spectrum.cpp:128-145, 226-227).
+
+    Interactive (matplotlib window): 'b'/'n' page through the eigenfields
+    (the reference's keys), 'o' exports the current frame + camera, 'q'
+    quits. Headless (no display): writes ``eigenfield_%03d.png`` for every
+    field to ``out_dir``. Returns the number of fields rendered.
+    """
+    import os
+
+    import matplotlib
+
+    if interactive is None:
+        interactive = bool(os.environ.get("DISPLAY"))
+    fields = np.asarray(triangle_fields)
+    k = fields.shape[0]
+    cam = camera or Camera(target=tuple(np.asarray(verts).mean(axis=0)))
+    state = {"idx": 0}
+
+    def export(path, idx):
+        render_surface(np.asarray(verts), np.asarray(tris), path,
+                       vfield=fields[idx], camera=cam,
+                       glyph_scale=glyph_scale)
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not interactive:
+        for i in range(k):
+            export(os.path.join(out_dir, f"eigenfield_{i + 1:03d}.png"), i)
+        cam.save(os.path.join(out_dir, "camera.json"))
+        return k
+
+    matplotlib.use(matplotlib.get_backend())
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+
+    def redraw():
+        tmp = os.path.join(out_dir, "_viewer_frame.png")
+        export(tmp, state["idx"])
+        import matplotlib.image as mpimg
+        fig.clf()
+        ax = fig.add_subplot(111)
+        ax.imshow(mpimg.imread(tmp))
+        ax.axis("off")
+        ev = ""
+        if eigenvalues is not None:
+            ev = f"  lambda={float(np.asarray(eigenvalues)[state['idx']]):.4g}"
+        ax.set_title(f"eigenfield {state['idx'] + 1}/{k}{ev}"
+                     "  [b]ack [n]ext [o]utput [q]uit")
+        fig.canvas.draw_idle()
+
+    def on_key(event):
+        if event.key == "n":
+            state["idx"] = (state["idx"] + 1) % k
+        elif event.key == "b":
+            state["idx"] = (state["idx"] - 1) % k
+        elif event.key == "o":
+            export(os.path.join(out_dir,
+                                f"eigenfield_{state['idx'] + 1:03d}.png"),
+                   state["idx"])
+            cam.save(os.path.join(out_dir, "camera.json"))
+        elif event.key == "q":
+            plt.close(fig)
+            return
+        redraw()
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    redraw()
+    plt.show()
+    return k

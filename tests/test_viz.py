@@ -54,3 +54,18 @@ def test_view_flow_headless_writes_frames(tmp_path):
     for lvl in range(3):
         assert (tmp_path / f"level_{lvl:03d}.png").exists()
     assert (tmp_path / "camera.json").exists()
+
+
+def test_view_spectrum_headless_writes_frames(tmp_path):
+    from meshopticalflow_tpu.viz import view_spectrum
+    from tests.conftest import make_sphere_mesh
+
+    tris, verts = make_sphere_mesh(2)
+    rng = np.random.default_rng(2)
+    fields = rng.normal(size=(3, len(tris), 2)) * 0.1
+    n = view_spectrum(verts, tris, fields, np.array([0.1, 0.5, 1.2]),
+                      out_dir=str(tmp_path), interactive=False)
+    assert n == 3
+    for i in range(3):
+        assert (tmp_path / f"eigenfield_{i + 1:03d}.png").exists()
+    assert (tmp_path / "camera.json").exists()
