@@ -157,3 +157,65 @@ def test_texture_cli_runs_sharded(tmp_path):
     out = prob.advected_textures()
     assert np.isfinite(out).all()
     assert len(res.metrics) == 2
+
+
+@pytest.fixture(scope="module")
+def halo_basis():
+    """A Whitney basis big enough that 8 RCM row blocks dwarf the semiband."""
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.models.base import build_basis
+    from meshopticalflow_tpu.utils.testing import sphere_signal_pair
+
+    tris, verts, _, _ = sphere_signal_pair(5)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(dtype="float64")
+    _, basis = build_basis(mesh, cfg)
+    return basis
+
+
+def test_halo_matvec_matches_dense(halo_basis):
+    """Halo-exchange SpMV (parallel/halo.py) == scipy on the real Whitney
+    flow system, 8 contiguous RCM row blocks, nearest-neighbor halos only."""
+    import scipy.sparse as sp
+
+    from meshopticalflow_tpu.parallel.halo import build_halo_ell
+
+    basis = halo_basis
+    cols = np.asarray(basis.ell_cols)
+    rng = np.random.default_rng(0)
+    n, w = cols.shape
+    vals = np.asarray(basis.s_vals, np.float64) + 0.0
+    mesh = make_device_mesh(8)
+    h = build_halo_ell(cols, jnp.asarray(vals), mesh)
+    # the halo must be a small fraction of the matrix (the comm-volume win)
+    assert h.halo < n // 8, (h.halo, n)
+    x = rng.normal(size=n)
+    a = sp.csr_matrix((vals.ravel(), (np.repeat(np.arange(n), w), cols.ravel())),
+                      shape=(n, n))
+    y = np.asarray(h.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_halo_pcg_solves(halo_basis):
+    """Jacobi-PCG over the halo matvec solves the (SPD-shifted) system to
+    tolerance with x in original row order."""
+    import scipy.sparse as sp
+
+    from meshopticalflow_tpu.parallel.halo import build_halo_ell, halo_pcg
+
+    basis = halo_basis
+    cols = np.asarray(basis.ell_cols)
+    n, w = cols.shape
+    vals = np.asarray(basis.s_vals, np.float64).copy()
+    # shift the diagonal to make the smoothness operator definite
+    diag_slot = np.asarray(basis.diag_slot)
+    vals[np.arange(n), diag_slot] += 1e-2
+    mesh = make_device_mesh(8)
+    h = build_halo_ell(cols, jnp.asarray(vals), mesh)
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=n)
+    x, stats = halo_pcg(h, jnp.asarray(b), tol=1e-9, max_iters=4000)
+    a = sp.csr_matrix((vals.ravel(), (np.repeat(np.arange(n), w), cols.ravel())),
+                      shape=(n, n))
+    res = np.linalg.norm(a @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
+    assert res < 1e-7, (res, int(stats.iterations))
