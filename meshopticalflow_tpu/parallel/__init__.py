@@ -4,3 +4,8 @@ from meshopticalflow_tpu.parallel.sharding import (
     sharded_level_step,
     advect_texture_sharded,
 )
+from meshopticalflow_tpu.parallel.halo import (
+    HaloEll,
+    build_halo_ell,
+    halo_pcg,
+)
