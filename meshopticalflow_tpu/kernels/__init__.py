@@ -14,6 +14,7 @@ from meshopticalflow_tpu.kernels.advect import (
     advect_texture_compacted,
     advect_texture_frames_scan,
     flow_field_trace_pairs,
+    resample_signal_composed_whitney,
     sample_texture_bilinear,
     sample_vertex_signal,
 )

@@ -292,6 +292,42 @@ def advect_texture_frames_scan(tm, vfield, tri_uvs, texture, src_t, src_p,
     return colors
 
 
+@_ft.partial(jax.jit, static_argnames=("min_step", "max_steps"))
+def resample_signal_composed_whitney(tm, edge_fields, values, length,
+                                     min_step: float = 1e-2,
+                                     max_steps: int = 4096):
+    """Multi-frame composed-flow signal resampling — the
+    ResampleSignalWhitneyComposedFlow analog (OpticalFlow.cpp:239-260).
+
+    Advects every triangle barycenter through a SEQUENCE of Whitney flow
+    fields, applied last-to-first exactly like the reference
+    (OpticalFlow.cpp:251), each leg a full whitneyFlow march of ``length``,
+    then samples the per-vertex signal at the final point and averages into
+    vertices. ``edge_fields`` is (F, 3T) signed half-edge coefficients; one
+    jitted lax.scan over the F legs replaces the reference's host loop.
+    Returns (V, C)."""
+    from meshopticalflow_tpu.kernels.tracing import whitney_flow_trace
+
+    t_count = tm.n_triangles
+    n_vertices = values.shape[0]
+    t0 = jnp.arange(t_count, dtype=jnp.int32)
+    p0 = jnp.full((t_count, 2), 1.0 / 3.0, values.dtype)
+
+    def leg(carry, ce):
+        t, p = carry
+        t1, p1 = whitney_flow_trace(tm, ce, length, t, p, min_step, max_steps)
+        return (t1, p1), None
+
+    (t1, p1), _ = jax.lax.scan(leg, (t0, p0), edge_fields[::-1])
+    sampled = sample_vertex_signal(tm.triangles, values, t1, p1)
+    flat_idx = tm.triangles.ravel()
+    out = jax.ops.segment_sum(jnp.repeat(sampled, 3, axis=0), flat_idx,
+                              num_segments=n_vertices)
+    counts = jax.ops.segment_sum(jnp.ones_like(flat_idx, values.dtype),
+                                 flat_idx, num_segments=n_vertices)
+    return out / jnp.maximum(counts, 1.0)[:, None]
+
+
 def flow_field_trace_pairs(tm, vfields, flow_times, t0, p0, min_step,
                            max_steps: int = 4096):
     """vmap over FRAME PAIRS: trace the same lanes through a batch of flow

@@ -284,3 +284,35 @@ def test_compacted_trace_escalates_past_cap(flat):
     assert exhausted == 0
     np.testing.assert_array_equal(np.asarray(t_c), np.asarray(t_ref))
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_ref), atol=0)
+
+
+def test_resample_signal_composed_whitney_matches_sequential():
+    """The composed-flow resampler (ResampleSignalWhitneyComposedFlow,
+    OpticalFlow.cpp:239-260) applies the field stack last-to-first; one
+    scan leg per field must equal manual sequential whitneyFlow marches."""
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.kernels.advect import (
+        resample_signal_composed_whitney, sample_vertex_signal)
+    from meshopticalflow_tpu.utils.testing import sphere_signal_pair
+
+    tris, verts, s0, _ = sphere_signal_pair(3)
+    mesh = build_mesh(tris, vertices=verts)
+    tm = make_trace_mesh(mesh, jnp.float64)
+    rng = np.random.default_rng(7)
+    fields = jnp.asarray(rng.normal(size=(2, 3 * len(tris))) * 0.02)
+    values = jnp.asarray(s0, jnp.float64)
+    out = resample_signal_composed_whitney(tm, fields, values, 0.4,
+                                           max_steps=512)
+
+    t = jnp.arange(len(tris), dtype=jnp.int32)
+    p = jnp.full((len(tris), 2), 1.0 / 3.0, jnp.float64)
+    for f in (1, 0):   # last field first (OpticalFlow.cpp:251)
+        t, p = whitney_flow_trace(tm, fields[f], 0.4, t, p, min_step=1e-2,
+                                  max_steps=512)
+    sampled = np.asarray(sample_vertex_signal(tm.triangles, values, t, p))
+    expect = np.zeros_like(np.asarray(values))
+    counts = np.zeros(len(values))
+    np.add.at(expect, tris.ravel(), np.repeat(sampled, 3, axis=0))
+    np.add.at(counts, tris.ravel(), 1.0)
+    expect = expect / np.maximum(counts, 1.0)[:, None]
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
