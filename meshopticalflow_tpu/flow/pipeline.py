@@ -689,8 +689,17 @@ class FlowProblem:
         ck = key_of("coarse", self._cache_key, int(cfg.vf_mode),
                     int(cfg.connection_mode), cfg.divergence_free) \
             if use_cache else ""
+        # The dense patch-coarsest blocks are FALLBACK-only under the
+        # banded-exact coarse solve — defer their (~200 MB) payload reads
+        # to first use (utils/artifacts.LazyNpzArray).
+        backend = cfg.flow_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        defer_dense = cfg.mg_coarse_exact and backend == "pallas" \
+            and self.device_mesh is None
         _t0 = time.time()
-        d = cached("coarse", ck, compute, enabled=use_cache)
+        d = cached("coarse", ck, compute, enabled=use_cache,
+                   lazy_keys=("s2", "vp_m2", "vp_k2") if defer_dense else ())
         self.init_profile["coarse_load"] = round(time.time() - _t0, 2)
 
         dt = self.dtype
@@ -716,11 +725,12 @@ class FlowProblem:
         self.vpatch = None
         if bool(d["has_patch"]):
             # With the banded-exact coarse solve active the dense patch
-            # blocks are a FALLBACK only: keep them host-side (consumers
-            # upload lazily on first use) instead of paying ~100+ MB of
-            # tunnel upload at init.
+            # blocks are a FALLBACK only: keep them host-side — possibly
+            # still unread LazyNpzArray handles — instead of paying ~100 MB
+            # of tunnel upload (and ~200 MB of disk read) at init.
             lazy = cfg.mg_coarse_exact
-            as_dev = (lambda a, t=None: np.asarray(a)) if lazy else                 (lambda a, t=None: jnp.asarray(a, t or dt))
+            as_dev = (lambda a, t=None: a) if lazy else \
+                (lambda a, t=None: jnp.asarray(a, t or dt))
             self.patch = PatchLevel(
                 q2_idx=jnp.asarray(d["q2_idx"], jnp.int32),
                 q2_wt=jnp.asarray(d["q2_wt"], dt),

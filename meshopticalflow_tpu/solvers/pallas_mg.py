@@ -560,8 +560,11 @@ def _next_chunk(r2, threshold, rho, chunk: int) -> int:
 
     if rho is None or not (0.0 < rho < 1.0) or r2 <= threshold or r2 <= 0:
         return chunk
-    need = math.log(threshold / r2) / math.log(rho) + 2.0
-    for div in (8, 4, 2):
+    # 1.3x + 3 safety margin: an undershoot costs a whole extra dispatch +
+    # host fetch (~0.1-0.3 s on the tunneled runtime), an overshoot only
+    # the surplus iterations (~30 ms each) — err long.
+    need = 1.3 * math.log(threshold / r2) / math.log(rho) + 3.0
+    for div in (4, 2):
         cand = max(chunk // div, 1)
         if cand >= need:
             return cand
@@ -569,11 +572,15 @@ def _next_chunk(r2, threshold, rho, chunk: int) -> int:
 
 
 def _update_rho(rho, r2_before, r2_after, iters: int):
-    """Per-iteration squared-residual contraction estimate (None-safe)."""
+    """Per-iteration squared-residual contraction estimate (None-safe).
+
+    Keeps the WORST (largest) observed contraction: CG converges faster in
+    early chunks than asymptotically, and a too-optimistic rho makes
+    _next_chunk crawl to convergence in small dispatches."""
     if r2_before <= 0 or r2_after <= 0 or r2_after >= r2_before:
         return rho
     new = (r2_after / r2_before) ** (1.0 / max(iters, 1))
-    return new if rho is None else 0.5 * (rho + new)
+    return new if rho is None else max(rho, new)
 
 
 class PallasMG3Solver:
@@ -686,9 +693,13 @@ class PallasMG3Solver:
         threshold = (tol ** 2) * b_norm2
         done = 0
         r2 = b_norm2
+        undershot = False
         while done < max_iters and r2 > threshold:
-            iters = min(_next_chunk(r2, threshold, self._rho, chunk),
-                        max_iters - done)
+            # After a failed short-chunk prediction, go straight back to the
+            # full chunk — the rho estimate was wrong for this system.
+            iters = chunk if undershot \
+                else _next_chunk(r2, threshold, self._rho, chunk)
+            iters = min(iters, max_iters - done)
             r2_before = r2
             if self.c1_dinv is not None:
                 x, r, p, rz, r2_dev = _pcg_chunk_banded_impl(
@@ -713,6 +724,7 @@ class PallasMG3Solver:
             r2 = float(r2_dev)
             done += iters
             self._rho = _update_rho(self._rho, r2_before, r2, iters)
+            undershot = iters < chunk and r2 > threshold
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
         x_out = from_tiles(x, pack.fine_inv_perm, pack.n_fine).astype(b.dtype)
         return x_out, CGStats(jnp.asarray(done, jnp.int32),
@@ -951,9 +963,11 @@ class PallasMG3MultiSolver:
         threshold = (tol ** 2) * b_norm2
         done = 0
         r2 = b_norm2
+        undershot = False
         while done < max_iters and r2 > threshold:
-            iters = min(_next_chunk(r2, threshold, self._rho, chunk),
-                        max_iters - done)
+            iters = chunk if undershot \
+                else _next_chunk(r2, threshold, self._rho, chunk)
+            iters = min(iters, max_iters - done)
             r2_before = r2
             if self.c1_dinv is not None:
                 x, r, p, rz, r2_dev = _pcg_chunk_multi_banded(
@@ -977,6 +991,7 @@ class PallasMG3MultiSolver:
             r2 = float(r2_dev)
             done += iters
             self._rho = _update_rho(self._rho, r2_before, r2, iters)
+            undershot = iters < chunk and r2 > threshold
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
         x_out = from_tiles_multi(x, pack.fine_inv_perm, pack.n_fine, c)
         return x_out.astype(b.dtype), CGStats(jnp.asarray(done, jnp.int32),

@@ -57,7 +57,57 @@ def _flatten(d: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
-def _unflatten(z) -> Dict:
+class LazyNpzArray:
+    """A cache member materialized only on first use.
+
+    Exposes ``__array__`` (so ``np.asarray`` / ``jnp.asarray`` work
+    transparently) and a header-only ``shape``/``dtype`` — consumers that
+    only need metadata never touch the payload. Used for large FALLBACK
+    blocks (the dense patch coarsest) that the production exact-coarse
+    path never reads: skipping them cuts the coarse artifact load from
+    ~350 MB to ~150 MB of disk traffic per problem construction."""
+
+    def __init__(self, path: str, key: str):
+        self._path = path
+        self._key = key
+        self._meta = None
+
+    def _header(self):
+        if self._meta is None:
+            import zipfile
+
+            with zipfile.ZipFile(self._path) as zf:
+                with zf.open(self._key + ".npy") as f:
+                    fmt = np.lib.format
+                    version = fmt.read_magic(f)
+                    if version == (1, 0):
+                        shape, _, dtype = fmt.read_array_header_1_0(f)
+                    elif version == (2, 0):
+                        shape, _, dtype = fmt.read_array_header_2_0(f)
+                    else:  # future format: private fallback
+                        shape, _, dtype = fmt._read_array_header(f, version)
+            self._meta = (shape, dtype)
+        return self._meta
+
+    @property
+    def shape(self):
+        return self._header()[0]
+
+    @property
+    def dtype(self):
+        return self._header()[1]
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def __array__(self, dtype=None, copy=None):
+        with np.load(self._path, allow_pickle=False) as z:
+            a = z[self._key]
+        return a.astype(dtype) if dtype is not None else a
+
+
+def _unflatten(z, path: str = "", lazy_keys=()) -> Dict:
     names = set(z.files)
     out: Dict = {}
     done = set()
@@ -70,21 +120,27 @@ def _unflatten(z) -> Dict:
             out[base] = sp.csr_matrix(
                 (z[f"{base}__data"], z[f"{base}__indices"], z[f"{base}__indptr"]),
                 shape=tuple(z[f"{base}__shape"]))
+        elif name in lazy_keys and path:
+            out[name] = LazyNpzArray(path, name)
         else:
             out[name] = z[name]
     return out
 
 
 def cached(tag: str, key: str, compute: Callable[[], Dict],
-           enabled: bool = True) -> Dict:
-    """Load {name: array-or-csr} from cache, or compute and store it."""
+           enabled: bool = True, lazy_keys=()) -> Dict:
+    """Load {name: array-or-csr} from cache, or compute and store it.
+
+    ``lazy_keys`` members come back as :class:`LazyNpzArray` on cache hits
+    (payload read deferred to first ``np.asarray``); fresh computes return
+    the real arrays."""
     if not enabled:
         return compute()
     path = os.path.join(cache_dir(), f"{tag}-{key}.npz")
     if os.path.exists(path):
         try:
             with np.load(path, allow_pickle=False) as z:
-                return _unflatten(z)
+                return _unflatten(z, path=path, lazy_keys=lazy_keys)
         except Exception:
             pass  # corrupt/stale -> recompute
     out = compute()
