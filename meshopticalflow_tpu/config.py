@@ -91,6 +91,10 @@ class FlowConfig:
     # per step but cuts outer PCG iterations; 2 measured best with the
     # exact banded c1 (scripts/exp_nu.py).
     mg_nu: int = 2
+    # Chebyshev fine-smoother degree for the banded-exact MG cycle
+    # (0 = damped Jacobi). deg=2 streams the same fine-operator passes as
+    # nu=2 Jacobi; measured on-chip via scripts/exp_nu.py.
+    mg_fine_cheb: int = 0
     # EXACT coarse-1 solve via blocked banded Cholesky on the MXU
     # (solvers/banded.py) inside the Pallas MG cycle — the round-3 strong
     # coarse solve (VERDICT r2 next #1): outer PCG iterations drop to the

@@ -327,6 +327,7 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                mg_cheb_k=config.mg_cheb_k,
                                mg_coarse_exact=config.mg_coarse_exact,
                                mg_nu=config.mg_nu,
+                               mg_fine_cheb=config.mg_fine_cheb,
                                refine_tol=config.flow_refine_tol,
                                refine_floor=config.flow_refine_floor)
 

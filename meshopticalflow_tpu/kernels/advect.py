@@ -234,7 +234,14 @@ def flow_field_trace_compacted(tm, vfield, times, t0, p0, min_step,
             steps_done = max_steps
             continue
         sub, idx, sub_times = _compact(state, times, bucket)
-        steps = min(max(phase_steps * 2, 128), total_budget - steps_done)
+        # Steps per round scale inversely with the bucket: every round ends
+        # in a host round trip (the survivor count fetch, ~0.2 s on the
+        # tunneled runtime), so small straggler buckets march LONG legs —
+        # the wasted masked gathers are bounded by the bucket size while
+        # the round count for heavy-tailed paths drops ~8x.
+        base = max(phase_steps * 2, 128)
+        steps = min(base * max(1, (1 << 16) // bucket),
+                    total_budget - steps_done)
         sub = _trace_resume(tm, vfield, sub_times, sub, min_step, steps)
         state = _scatter_back(state, idx, sub)
         steps_done += steps

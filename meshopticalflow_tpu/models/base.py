@@ -247,6 +247,7 @@ def update_optical_flow(
     mg_cheb_k: int = 1,     # Chebyshev order of the inner coarse-1 solve
     mg_coarse_exact: bool = False,  # banded-Cholesky exact c1 solve
     mg_nu: int = 2,         # Jacobi smoothing steps per MG half-cycle
+    mg_fine_cheb: int = 0,  # Chebyshev fine-smoother degree (0 = Jacobi)
     refine_tol: float = 3e-9,
     refine_floor: float = 1e-5,
 ):
@@ -324,7 +325,8 @@ def update_optical_flow(
                 # touched — skip assembling/uploading it entirely.
                 solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
                                          None, cheb_k=mg_cheb_k, nu=mg_nu,
-                                         c1_band=c1_band)
+                                         c1_band=c1_band,
+                                         cheb_fine_deg=mg_fine_cheb)
                 if solver.c1_l_blocks is None:
                     solver = None   # factorization breakdown: fall back
             if solver is None:

@@ -383,24 +383,60 @@ def _band_from_args(t2b, b2t) -> BandedC1:
                     nb=0, bw=0, m=0, n1=b2t.shape[0])
 
 
+def _cheb_smooth(apply_, invd, r, z0, deg: int, lmin, lmax):
+    """Chebyshev semi-iteration on D^-1 A over [lmin, lmax]; z0=None starts
+    from zero (skipping the first matvec). deg matvecs when z0 is given,
+    deg-1 from zero — so a symmetric pre/post pair at deg=2 streams the
+    SAME 4 fine-operator passes as nu=2 damped Jacobi."""
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    res = r if z0 is None else r - apply_(z0)
+    d_vec = invd * res / theta
+    z = d_vec if z0 is None else z0 + d_vec
+    alpha_prev = 1.0 / theta
+    for _ in range(deg - 1):
+        res = r - apply_(z)
+        beta = (delta * alpha_prev / 2.0) ** 2
+        alpha = 1.0 / (theta - beta / alpha_prev)
+        d_vec = alpha * (invd * res) + (alpha * beta / alpha_prev) * d_vec
+        z = z + d_vec
+        alpha_prev = alpha
+    return z
+
+
 def _cycle_exact(fine_bf, f_invd, dinv, pbelow, band: BandedC1, pack: MGPack,
-                 r_t, omega, nu: int):
+                 r_t, omega, nu: int, cheb_deg: int = 0,
+                 f_lmin=None, f_lmax=None):
     """Two-level V-cycle with the EXACT banded c1 solve — the measured
     ~59-iteration configuration (scripts/exp_mg.py mg2_exact_nu2) that the
-    3-level Jacobi+patch cycle approximates at 236-304 iterations."""
-    z = _jac(fine_bf.apply, f_invd, r_t, omega * f_invd * r_t, omega, nu - 1)
+    3-level Jacobi+patch cycle approximates at 236-304 iterations.
+
+    ``cheb_deg`` > 0 replaces the damped-Jacobi smoothing with a
+    Chebyshev polynomial over [f_lmin, f_lmax] of D^-1 A — stronger
+    high-frequency damping at the same stream count for deg=2."""
+    if cheb_deg > 0:
+        z = _cheb_smooth(fine_bf.apply, f_invd, r_t, None, cheb_deg,
+                         f_lmin, f_lmax)
+    else:
+        z = _jac(fine_bf.apply, f_invd, r_t, omega * f_invd * r_t, omega,
+                 nu - 1)
     res = r_t - fine_bf.apply(z)
     r1 = pack.p0t.apply(res)
     z1 = _inner1_exact(dinv, pbelow, band, r1)
     z = z + pack.p0.apply(z1)
+    if cheb_deg > 0:
+        return _cheb_smooth(fine_bf.apply, f_invd, r_t, z, cheb_deg,
+                            f_lmin, f_lmax)
     return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
 
 
-@functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id"))
+@functools.partial(jax.jit, static_argnames=("nu", "iters", "pack_id",
+                                             "cheb_deg"))
 def _pcg_chunk_banded_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc,
                            fine_bf_vals, f_invd, dinv, pbelow, t2b, b2t,
                            p0_tc, p0_vals, p0t_tc, p0t_vals,
-                           x, r, p, rz, omega, nu: int, iters: int, pack_id):
+                           x, r, p, rz, omega, nu: int, iters: int, pack_id,
+                           cheb_deg: int = 0, f_lmin=None, f_lmax=None):
     """PCG chunk with the banded-exact coarse cycle as preconditioner."""
     pack = _PACKS[pack_id]
     fine_bf = PallasEll(pack.fine_pat, fine_bf_tc, fine_bf_vals,
@@ -417,7 +453,7 @@ def _pcg_chunk_banded_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc,
     def body(_, s):
         x, r, p, rz_old = s
         z = _cycle_exact(fine_bf, f_invd, dinv, pbelow, band, pack, r,
-                         omega, nu)
+                         omega, nu, cheb_deg, f_lmin, f_lmax)
         rz = jnp.vdot(r, z)
         beta = jnp.where(rz_old != 0, rz / jnp.where(rz_old != 0, rz_old, 1.0), 0.0)
         p = z + beta * p
@@ -477,6 +513,32 @@ def _cheb_bounds_impl(c1_bf_tc, c1_bf_vals, c1_invd, chol2,
     lmin = jnp.where(jnp.isfinite(lmin), 0.7 * lmin, 0.01 * lmax)
     lmin = jnp.clip(lmin, 1e-3 * lmax, 0.5 * lmax)
     return lmin, lmax
+
+
+@functools.partial(jax.jit, static_argnames=("pack_id", "piters"))
+def _fine_lmax_impl(fine_bf_tc, fine_bf_vals, f_invd, pack_id,
+                    piters: int = 15):
+    """lambda_max of D^-1 A_fine by power iteration (bf16 matvecs, once per
+    solver when the Chebyshev fine smoother is active)."""
+    pack = _PACKS[pack_id]
+    fine_bf = PallasEll(pack.fine_pat, fine_bf_tc, fine_bf_vals,
+                        interpret=pack.interpret)
+
+    def mv(v):
+        return f_invd * fine_bf.apply(v)
+
+    seed = jnp.sin(0.7 * jnp.arange(f_invd.size, dtype=jnp.float32) + 0.3)
+    v = seed.reshape(f_invd.shape)
+    v = v / jnp.sqrt(jnp.vdot(v, v))
+
+    def body(_, v):
+        w = mv(v)
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    v = lax.fori_loop(0, piters, body, v)
+    lmax = jnp.vdot(v, mv(v))
+    return jnp.where(jnp.isfinite(lmax) & (lmax > 0), 1.05 * lmax,
+                     jnp.asarray(2.0, jnp.float32))
 
 
 @functools.partial(jax.jit,
@@ -589,9 +651,12 @@ class PallasMG3Solver:
     def __init__(self, pack: MGPack, fine_ell_vals, fine_diag,
                  c1_ell_vals, c1_diag, a2_dense,
                  omega: float = 0.7, nu: int = 2, cheb_k: int = 1,
-                 c1_band: Optional[BandedC1] = None):
+                 c1_band: Optional[BandedC1] = None,
+                 cheb_fine_deg: int = 0):
         self.pack = pack
         self.cheb_k = int(cheb_k)
+        self.cheb_fine_deg = int(cheb_fine_deg)
+        self._fine_bounds = None
         self.pack_id = _register_pack(pack)
         # Exact banded c1 factorization (per level: one scatter + one scan;
         # the escalating-shift retry costs one scalar fetch per attempt).
@@ -702,6 +767,13 @@ class PallasMG3Solver:
             iters = min(iters, max_iters - done)
             r2_before = r2
             if self.c1_dinv is not None:
+                deg = self.cheb_fine_deg
+                if deg > 0 and self._fine_bounds is None:
+                    lmax = _fine_lmax_impl(self.fine_bf.tile_cols,
+                                           self.fine_bf.vals_t,
+                                           self.f_invd, self.pack_id)
+                    self._fine_bounds = (lmax / 8.0, lmax)
+                f_lmin, f_lmax = self._fine_bounds or (None, None)
                 x, r, p, rz, r2_dev = _pcg_chunk_banded_impl(
                     self.fine_f32.tile_cols, self.fine_f32.vals_t,
                     self.fine_bf.tile_cols, self.fine_bf.vals_t,
@@ -709,7 +781,8 @@ class PallasMG3Solver:
                     self.c1_band.tile_to_band, self.c1_band.band_to_tile,
                     pack.p0.tile_cols, pack.p0.vals_t,
                     pack.p0t.tile_cols, pack.p0t.vals_t,
-                    x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
+                    x, r, p, rz, self.omega, self.nu, iters, self.pack_id,
+                    deg, f_lmin, f_lmax)
             else:
                 x, r, p, rz, r2_dev = _pcg_chunk_impl(
                     self.fine_f32.tile_cols, self.fine_f32.vals_t,
@@ -740,6 +813,8 @@ def _solver_gb_per_iter(solver) -> float:
     factor twice (lower+upper solve) or 2*nu c1 tile streams per Chebyshev
     step of the 3-level fallback."""
     nu = solver.nu
+    if getattr(solver, "cheb_fine_deg", 0) > 0:
+        nu = solver.cheb_fine_deg   # 2*deg fine streams per cycle
     gb = (2 * nu * solver.fine_bf.gigabytes + solver.fine_f32.gigabytes
           + solver.pack.p0.gigabytes + solver.pack.p0t.gigabytes)
     if solver.c1_dinv is not None:

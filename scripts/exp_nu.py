@@ -57,7 +57,11 @@ def main():
     v_weight = jnp.asarray(cfg.resolved_vf_smooth_weight(), prob.dtype)
 
     for nu in nus:
-        cfg_nu = dataclasses.replace(cfg, mg_nu=nu)
+        # negative entries sweep the Chebyshev FINE smoother degree
+        if nu < 0:
+            cfg_nu = dataclasses.replace(cfg, mg_fine_cheb=-nu)
+        else:
+            cfg_nu = dataclasses.replace(cfg, mg_nu=nu)
         for rep in range(3):
             t0 = time.time()
             coeffs, tfield, st = _stage_solve(

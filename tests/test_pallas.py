@@ -368,6 +368,15 @@ def test_pallas_mg3_banded_exact_coarse(rng):
     assert int(stats.iterations) <= int(stats_v.iterations), (
         int(stats.iterations), int(stats_v.iterations))
 
+    # The Chebyshev fine smoother (mg_fine_cheb) must converge to the same
+    # answer through the same exact-c1 cycle.
+    cheb = PallasMG3Solver(pack, sys_vals, fdiag, c_vals, c_diag, a2,
+                           c1_band=band, cheb_fine_deg=2)
+    xc, stats_c = cheb.solve(rhs, tol=1e-6, max_iters=200, chunk=2)
+    rel_c = np.linalg.norm(np.asarray(xc, np.float64) - x_ref) \
+        / np.linalg.norm(x_ref)
+    assert rel_c < 1e-3, (rel_c, int(stats_c.iterations))
+
 
 def test_pallas_mg3_multi_banded_exact(rng):
     """PallasMG3MultiSolver with the banded-exact c1 solve on a real vertex
