@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
 import scipy.sparse as sp
@@ -146,6 +146,13 @@ def _build_mg_pack_host(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     return out
 
 
+# Process-level device-resident packs, keyed by artifact key: repeated
+# problem constructions over the same mesh (e.g. the bench's interleaved
+# draws, or a server aligning many pairs) reuse the uploaded pattern/tile
+# arrays instead of re-packing and re-uploading ~1 GB per construction.
+_DEVICE_PACKS: Dict[str, MGPack] = {}
+
+
 def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
                   p0_csr: sp.spmatrix, p12_idx: np.ndarray,
                   p12_wt: np.ndarray, n2: int,
@@ -154,6 +161,9 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     """Pack the static patterns (host, cached on disk per problem) and
     stand up the device-side transfer operators."""
     from meshopticalflow_tpu.utils.artifacts import cached
+
+    if cache_key and cache_key in _DEVICE_PACKS:
+        return _DEVICE_PACKS[cache_key]
 
     d = cached("mgpack3", cache_key,
                lambda: _build_mg_pack_host(fine_ell_cols, c1_ell_cols, p0_csr,
@@ -189,7 +199,7 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     inv_f[fine_pat.row_perm] = np.arange(n_f)
     inv_1 = np.empty(n1, np.int64)
     inv_1[c1_pat.row_perm] = np.arange(n1)
-    return MGPack(
+    pack = MGPack(
         fine_pat=fine_pat, fine_slots=jnp.asarray(fine_pat.slots),
         fine_perm=jnp.asarray(fine_pat.row_perm, jnp.int32),
         fine_inv_perm=jnp.asarray(inv_f, jnp.int32),
@@ -200,6 +210,11 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
         p12_idx_p=jnp.asarray(d["p12_idx_p"], jnp.int32),
         p12_wt_p=jnp.asarray(np.asarray(d["p12_wt_p"], np.float32)),
         n_fine=n_f, n1=n1, n2=n2, interpret=interpret)
+    if cache_key:
+        if len(_DEVICE_PACKS) >= 4:   # bound resident packs (~1 GB each)
+            _DEVICE_PACKS.pop(next(iter(_DEVICE_PACKS)))
+        _DEVICE_PACKS[cache_key] = pack
+    return pack
 
 
 # ----------------------------------------------------------------------------
