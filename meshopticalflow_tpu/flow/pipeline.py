@@ -403,6 +403,14 @@ def _advect_texture_step_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src
 
 
 @jax.jit
+def _scatter_remapped(src_t, src_p, idx, t1, p1):
+    """Scatter the exp-remapped texels back into the device sample table in
+    ONE dispatch (two eager .at[].set calls measured ~3.3 s of dispatch
+    overhead on the tunneled runtime)."""
+    return src_t.at[idx].set(t1), src_p.at[idx].set(p1)
+
+
+@jax.jit
 def _exp_remap_jit(tm: TraceMesh, t0, p):
     center = jnp.full_like(p, 1.0 / 3.0)
     # with_diagnostics also surfaces cap-exhausted lanes; measured healthy at
@@ -878,8 +886,8 @@ class FlowProblem:
         # output; all advection reads src_t/src_p).
         _t = time.time()
         idx_dev = jnp.asarray(idx, jnp.int32)
-        self.src_t = self.src_t.at[idx_dev].set(t1)
-        self.src_p = self.src_p.at[idx_dev].set(p1)
+        self.src_t, self.src_p = _scatter_remapped(self.src_t, self.src_p,
+                                                   idx_dev, t1, p1)
         self.src_t.block_until_ready()
         self.init_profile["exp_scatter"] = round(time.time() - _t, 2)
         # Deferred fetch: scalar d2h reads at this point in init wedge the
