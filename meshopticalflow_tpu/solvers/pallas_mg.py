@@ -162,7 +162,7 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
     stand up the device-side transfer operators."""
     from meshopticalflow_tpu.utils.artifacts import cached
 
-    if cache_key and cache_key in _DEVICE_PACKS:
+    if cache_key and not interpret and cache_key in _DEVICE_PACKS:
         return _DEVICE_PACKS[cache_key]
 
     d = cached("mgpack3", cache_key,
@@ -210,7 +210,7 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
         p12_idx_p=jnp.asarray(d["p12_idx_p"], jnp.int32),
         p12_wt_p=jnp.asarray(np.asarray(d["p12_wt_p"], np.float32)),
         n_fine=n_f, n1=n1, n2=n2, interpret=interpret)
-    if cache_key:
+    if cache_key and not interpret:
         if len(_DEVICE_PACKS) >= 4:   # bound resident packs (~1 GB each)
             _DEVICE_PACKS.pop(next(iter(_DEVICE_PACKS)))
         _DEVICE_PACKS[cache_key] = pack
