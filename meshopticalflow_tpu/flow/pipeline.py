@@ -560,21 +560,28 @@ class FlowProblem:
             from meshopticalflow_tpu.utils.artifacts import key_of
             key = key_of("sigpre", self._signals_key, cfg.dog_weight,
                          cfg.dog_smooth, cfg.log_space, cfg.channels,
-                         cfg.dtype, cfg.cg_tol, cfg.flow_backend,
+                         cfg.dtype, cfg.cg_tol, cfg.flow_backend, cfg.nearest,
                          jax.default_backend(),
                          getattr(self, "vcoarse", None) is not None,
                          getattr(self, "vpatch", None) is not None)
-        from meshopticalflow_tpu.utils.artifacts import cached
+        if key:
+            from meshopticalflow_tpu.utils.artifacts import cached
 
-        def compute():
-            sig_ = _preprocess_signals(self.arrays.smooth_ops,
-                                       self._signals_raw, cfg,
-                                       getattr(self, "vcoarse", None),
-                                       getattr(self, "vpatch", None))
-            return dict(sig=np.asarray(sig_))
+            def compute():
+                sig_ = _preprocess_signals(self.arrays.smooth_ops,
+                                           self._signals_raw, cfg,
+                                           getattr(self, "vcoarse", None),
+                                           getattr(self, "vpatch", None))
+                return dict(sig=np.asarray(sig_))
 
-        sig = jnp.asarray(cached("sigpre", key, compute,
-                                 enabled=bool(key))["sig"], self.dtype)
+            sig = jnp.asarray(cached("sigpre", key, compute)["sig"],
+                              self.dtype)
+        else:
+            # No cache: keep the result on device (no d2h round trip).
+            sig = _preprocess_signals(self.arrays.smooth_ops,
+                                      self._signals_raw, cfg,
+                                      getattr(self, "vcoarse", None),
+                                      getattr(self, "vpatch", None))
         sig.block_until_ready()
         if self.device_mesh is not None and \
                 sig.shape[0] % self.device_mesh.devices.size == 0:

@@ -330,9 +330,11 @@ def update_optical_flow(
                 if solver.c1_l_blocks is None:
                     solver = None   # factorization breakdown: fall back
             if solver is None:
+                # np.asarray materializes a LazyNpzArray fallback block
+                # (utils/artifacts.py) before the jit boundary.
                 a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
                                         scale, vf_smooth_weight,
-                                        patch.s2_dense)
+                                        jnp.asarray(np.asarray(patch.s2_dense)))
                 solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
                                          a2, cheb_k=mg_cheb_k, nu=mg_nu)
         elif patch is not None:

@@ -326,15 +326,19 @@ class BandedCholeskySolver:
     """
 
     def __init__(self, pattern: BandPattern, interpret: bool = False,
-                 solve_panel_k: int = 4):
+                 solve_panel_k: int = 4, keep_factor: bool = False):
         self.pat = pattern
         self.slots = jnp.asarray(pattern.slots)
         self.perm = jnp.asarray(pattern.perm, jnp.int32)
         self.inv_perm = jnp.asarray(pattern.inv_perm, jnp.int32)
         self.l_blocks = None
         self.shift_used = 0.0
-        # Panelized solves (see build_solve_panels): S = k*nb <= bw.
+        # Panelized solves (see build_solve_panels): S = k*nb <= bw. The
+        # block factor is dropped after panelization unless ``keep_factor``
+        # — solves only read the panels, and the factor pins ~nb+bw floats
+        # per row (~276 MB at the production c1 shape).
         self.panel_k = max(1, min(solve_panel_k, pattern.bw // pattern.nb))
+        self.keep_factor = keep_factor
         self.dinv = None
         self.pbelow = None
 
@@ -354,22 +358,18 @@ class BandedCholeskySolver:
             l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
                                          pat.nb, pat.bw)
             if bool(ok):
-                self.l_blocks = l_blocks
                 self.shift_used = rel * dmax
                 self.dinv, self.pbelow = build_solve_panels(l_blocks,
                                                             self.panel_k)
+                self.l_blocks = l_blocks if self.keep_factor else None
                 return self
         raise RuntimeError("banded Cholesky breakdown at every shift")
 
     def solve(self, b):
-        if self.l_blocks is None:
+        if self.dinv is None:
             raise RuntimeError("factor() before solve()")
-        pat = self.pat
-        if self.dinv is not None:
-            return band_solve_panels(self.dinv, self.pbelow, self.perm,
-                                     self.inv_perm, b, pat.n)
-        return band_solve(self.l_blocks, self.perm, self.inv_perm, b,
-                          pat.nb, pat.bw, pat.n)
+        return band_solve_panels(self.dinv, self.pbelow, self.perm,
+                                 self.inv_perm, b, self.pat.n)
 
 
 # ----------------------------------------------------------------------------

@@ -630,9 +630,10 @@ def _next_chunk(r2, threshold, rho, chunk: int) -> int:
     plus a small margin. Pure scheduling: the exit condition itself is
     unchanged, an undershoot just costs one more (small) chunk.
 
-    Sizes are quantized to {chunk, chunk/2, chunk/4, chunk/8} — the chunk
-    length is a STATIC argument of the jitted PCG programs, and compiles
-    cost tens of seconds on this backend."""
+    Sizes are quantized to {chunk, chunk/2, chunk/4} — the chunk length is
+    a STATIC argument of the jitted PCG programs, and compiles cost tens
+    of seconds on this backend (smaller chunks also raise the undershoot
+    odds, each costing a whole extra dispatch)."""
     import math
 
     if rho is None or not (0.0 < rho < 1.0) or r2 <= threshold or r2 <= 0:
@@ -718,7 +719,10 @@ class PallasMG3Solver:
             eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
             self.chol2 = jnp.linalg.cholesky(
                 a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
-        if self.c1_dinv is None and self.chol2 is None:
+        if self.c1_dinv is None and self.chol2 is None and c1_band is None:
+            # No solve path at all. (A PROVIDED c1_band that broke down is
+            # legal: callers check c1_l_blocks and rebuild with a2_dense —
+            # raising here would make their fallback branches unreachable.)
             raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, dtype)
         self.nu = nu
@@ -753,6 +757,9 @@ class PallasMG3Solver:
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-6,
               max_iters: int = 200, chunk: int = 24):
         pack = self.pack
+        if self.c1_dinv is None and self.chol2 is None:
+            raise RuntimeError(
+                "banded c1 factorization broke down; rebuild with a2_dense")
         if self.cheb_k > 1 and self.c1_l_blocks is None:
             cheb_lmin, cheb_lmax = self.cheb_bounds()
         else:
@@ -828,7 +835,9 @@ def _solver_gb_per_iter(solver) -> float:
     factor twice (lower+upper solve) or 2*nu c1 tile streams per Chebyshev
     step of the 3-level fallback."""
     nu = solver.nu
-    if getattr(solver, "cheb_fine_deg", 0) > 0:
+    if getattr(solver, "cheb_fine_deg", 0) > 0 and solver.c1_dinv is not None:
+        # The Chebyshev fine smoother only runs in the banded-exact cycle;
+        # the 3-level fallback keeps Jacobi-nu streams.
         nu = solver.cheb_fine_deg   # 2*deg fine streams per cycle
     gb = (2 * nu * solver.fine_bf.gigabytes + solver.fine_f32.gigabytes
           + solver.pack.p0.gigabytes + solver.pack.p0t.gigabytes)
@@ -1012,7 +1021,7 @@ class PallasMG3MultiSolver:
             eps = 1e-7 * jnp.max(jnp.abs(jnp.diagonal(a2_dense)))
             self.chol2 = jnp.linalg.cholesky(
                 a2_dense + eps * jnp.eye(n2, dtype=a2_dense.dtype))
-        if self.c1_dinv is None and self.chol2 is None:
+        if self.c1_dinv is None and self.chol2 is None and c1_band is None:
             raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, jnp.float32)
         self.nu = nu
@@ -1035,6 +1044,9 @@ class PallasMG3MultiSolver:
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-7,
               max_iters: int = 200, chunk: int = 16):
         pack = self.pack
+        if self.c1_dinv is None and self.chol2 is None:
+            raise RuntimeError(
+                "banded c1 factorization broke down; rebuild with a2_dense")
         c = b.shape[1]
         b_t = to_tiles_multi(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
         b_norm2 = float(jnp.max(_dots_m(b_t, b_t)))

@@ -157,6 +157,42 @@ def render_surface(
     plt.close(fig)
 
 
+def _interactive_pager(out_dir: str, export, title, handle_key) -> None:
+    """Shared matplotlib pager scaffold for the interactive viewers:
+    temp-PNG redraw, key dispatch, window lifecycle. ``export(path)``
+    renders the current state to a PNG; ``title()`` builds the window
+    title; ``handle_key(key) -> bool`` mutates viewer state, returning
+    False to close the window."""
+    import os
+
+    import matplotlib
+    matplotlib.use(matplotlib.get_backend())
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+
+    def redraw():
+        tmp = os.path.join(out_dir, "_viewer_frame.png")
+        export(tmp)
+        import matplotlib.image as mpimg
+        fig.clf()
+        ax = fig.add_subplot(111)
+        ax.imshow(mpimg.imread(tmp))
+        ax.axis("off")
+        ax.set_title(title())
+        fig.canvas.draw_idle()
+
+    def on_key(event):
+        if not handle_key(event.key):
+            plt.close(fig)
+            return
+        redraw()
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    redraw()
+    plt.show()
+
+
 def view_flow(problem, out_dir: str = ".", interactive: Optional[bool] = None,
               camera: Optional[Camera] = None, glyph_scale: float = 1.0):
     """Level-stepping viewer over a FlowProblem — the WhitneyFlowViewer
@@ -222,41 +258,25 @@ def view_flow(problem, out_dir: str = ".", interactive: Optional[bool] = None,
         cam.save(os.path.join(out_dir, "camera.json"))
         return state["level"]
 
-    matplotlib.use(matplotlib.get_backend())
-    import matplotlib.pyplot as plt
-
-    fig = plt.figure()
-
-    def redraw():
-        tmp = os.path.join(out_dir, "_viewer_frame.png")
-        export(tmp)
-        import matplotlib.image as mpimg
-        fig.clf()
-        ax = fig.add_subplot(111)
-        ax.imshow(mpimg.imread(tmp))
-        ax.axis("off")
-        ax.set_title(f"level {state['level']} — signal {state['signal']}"
-                     " [a]dvance [t]oggle [v]ectors [o]utput [q]uit")
-        fig.canvas.draw_idle()
-
-    def on_key(event):
-        if event.key == "a":
+    def handle_key(key):
+        if key == "a":
             advance()
-        elif event.key in ("t", "n"):
+        elif key in ("t", "n"):
             state["signal"] = 1 - state["signal"]
-        elif event.key == "v":
+        elif key == "v":
             state["glyphs"] = not state["glyphs"]
-        elif event.key == "o":
+        elif key == "o":
             export(os.path.join(out_dir, f"export_{state['level']:03d}.png"))
             cam.save(os.path.join(out_dir, "camera.json"))
-        elif event.key == "q":
-            plt.close(fig)
-            return
-        redraw()
+        elif key == "q":
+            return False
+        return True
 
-    fig.canvas.mpl_connect("key_press_event", on_key)
-    redraw()
-    plt.show()
+    _interactive_pager(
+        out_dir, export,
+        lambda: (f"level {state['level']} — signal {state['signal']}"
+                 " [a]dvance [t]oggle [v]ectors [o]utput [q]uit"),
+        handle_key)
     return state["level"]
 
 
@@ -296,42 +316,27 @@ def view_spectrum(verts: np.ndarray, tris: np.ndarray,
         cam.save(os.path.join(out_dir, "camera.json"))
         return k
 
-    matplotlib.use(matplotlib.get_backend())
-    import matplotlib.pyplot as plt
-
-    fig = plt.figure()
-
-    def redraw():
-        tmp = os.path.join(out_dir, "_viewer_frame.png")
-        export(tmp, state["idx"])
-        import matplotlib.image as mpimg
-        fig.clf()
-        ax = fig.add_subplot(111)
-        ax.imshow(mpimg.imread(tmp))
-        ax.axis("off")
+    def title():
         ev = ""
         if eigenvalues is not None:
             ev = f"  lambda={float(np.asarray(eigenvalues)[state['idx']]):.4g}"
-        ax.set_title(f"eigenfield {state['idx'] + 1}/{k}{ev}"
-                     "  [b]ack [n]ext [o]utput [q]uit")
-        fig.canvas.draw_idle()
+        return (f"eigenfield {state['idx'] + 1}/{k}{ev}"
+                "  [b]ack [n]ext [o]utput [q]uit")
 
-    def on_key(event):
-        if event.key == "n":
+    def handle_key(key):
+        if key == "n":
             state["idx"] = (state["idx"] + 1) % k
-        elif event.key == "b":
+        elif key == "b":
             state["idx"] = (state["idx"] - 1) % k
-        elif event.key == "o":
+        elif key == "o":
             export(os.path.join(out_dir,
                                 f"eigenfield_{state['idx'] + 1:03d}.png"),
                    state["idx"])
             cam.save(os.path.join(out_dir, "camera.json"))
-        elif event.key == "q":
-            plt.close(fig)
-            return
-        redraw()
+        elif key == "q":
+            return False
+        return True
 
-    fig.canvas.mpl_connect("key_press_event", on_key)
-    redraw()
-    plt.show()
+    _interactive_pager(out_dir, lambda p: export(p, state["idx"]), title,
+                       handle_key)
     return k

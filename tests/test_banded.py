@@ -93,7 +93,8 @@ def test_panel_solve_matches_block_solve(n, nb, k):
     a = _mesh_like_spd(n, rng)
     cols, vals = _to_ell(a)
     pat = build_band_pattern(cols, nb=nb, bw_pad=k * nb)
-    solver = BandedCholeskySolver(pat, solve_panel_k=1).factor(
+    solver = BandedCholeskySolver(pat, solve_panel_k=1,
+                                  keep_factor=True).factor(
         jnp.asarray(vals, jnp.float32))
     b = rng.normal(size=(n, 3)).astype(np.float32)
     x_block = np.asarray(band_solve(solver.l_blocks, solver.perm,

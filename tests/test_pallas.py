@@ -439,3 +439,56 @@ def test_pallas_mg3_multi_banded_exact(rng):
         num = np.linalg.norm(np.asarray(x, np.float64)[:, ch] - x_ref)
         den = np.linalg.norm(x_ref) + 1e-300
         assert num / den < 1e-4, (ch, num / den)
+
+
+def test_pallas_mg3_banded_breakdown_falls_back(rng):
+    """A c1 factorization breakdown must NOT raise in the constructor —
+    callers check c1_l_blocks and rebuild with the dense patch coarsest
+    (models/base.py) — and solve() on a both-paths-dead solver raises a
+    clear error instead of crashing mid-cycle."""
+    import pytest as _pytest
+
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_tracked
+    from meshopticalflow_tpu.models.base import build_basis, build_flow_system
+    from meshopticalflow_tpu.models.coarse import (build_coarse_space,
+                                                   build_patch_level)
+    from meshopticalflow_tpu.solvers.pallas_mg import (PallasMG3Solver,
+                                                       build_c1_band,
+                                                       build_mg_pack)
+    from tests.conftest import make_sphere_mesh
+
+    tris0, verts0 = make_sphere_mesh(2)
+    diag = float(np.linalg.norm(verts0.max(0) - verts0.min(0)))
+    uvs = np.zeros((len(tris0), 3, 2))
+    tris, verts, _, parent, bary = subdivide_tracked(tris0, verts0, uvs,
+                                                     0.3 * diag)
+    cfg = FlowConfig(dtype="float32", dog_weight=0.0)
+    fine_mesh = build_mesh(tris, vertices=verts)
+    coarse_mesh = build_mesh(tris0, vertices=verts0)
+    fine_host, fine_dev = build_basis(fine_mesh, cfg)
+    cs = build_coarse_space(cfg, fine_mesh, fine_host, coarse_mesh, parent, bary)
+    patch, _ = build_patch_level(cfg, coarse_mesh, cs, target_size=4)
+    t_f = fine_mesh.n_triangles
+    d = rng.normal(size=(t_f, 2, 2))
+    d_blocks = jnp.asarray(np.einsum("tab,tcb->tac", d, d) + 0.3 * np.eye(2),
+                           jnp.float32)
+    rhs_t = jnp.asarray(rng.normal(size=(t_f, 2)), jnp.float32)
+    sys_vals, _, rhs, fdiag, scale = build_flow_system(
+        fine_dev, d_blocks, rhs_t, jnp.asarray(3e-4, jnp.float32))
+    n1 = cs.coarse_dev.ell_cols.shape[0]
+    pack = build_mg_pack(np.asarray(fine_dev.ell_cols),
+                         np.asarray(cs.coarse_dev.ell_cols), cs.p0,
+                         np.asarray(patch.p12_idx), np.asarray(patch.p12_wt),
+                         int(patch.s2_dense.shape[0]), interpret=True)
+    band = build_c1_band(pack, np.asarray(cs.coarse_dev.ell_cols), nb=32)
+    # Strictly negative-definite c1 values: every Cholesky shift fails.
+    c_bad = -jnp.ones_like(jnp.zeros((n1, cs.coarse_dev.ell_cols.shape[1]),
+                                     jnp.float32))
+    cd_bad = -jnp.ones(n1, jnp.float32)
+    broken = PallasMG3Solver(pack, sys_vals, fdiag, c_bad, cd_bad, None,
+                             c1_band=band)
+    assert broken.c1_l_blocks is None   # breakdown detected, no raise
+    with _pytest.raises(RuntimeError):
+        broken.solve(rhs, max_iters=2)
