@@ -492,3 +492,27 @@ def test_pallas_mg3_banded_breakdown_falls_back(rng):
     assert broken.c1_l_blocks is None   # breakdown detected, no raise
     with _pytest.raises(RuntimeError):
         broken.solve(rhs, max_iters=2)
+
+
+def test_adaptive_chunk_prediction():
+    """_next_chunk / _update_rho: quantized sizes, pessimistic updates,
+    full-chunk fallbacks on missing or degenerate contraction estimates."""
+    from meshopticalflow_tpu.solvers.pallas_mg import _next_chunk, _update_rho
+
+    # no history / degenerate rho / already converged -> full chunk
+    assert _next_chunk(1.0, 1e-12, None, 24) == 24
+    assert _next_chunk(1.0, 1e-12, 1.5, 24) == 24
+    assert _next_chunk(0.0, 1e-12, 0.5, 24) == 24
+    # tiny remaining gap -> smallest quantized size (chunk//4)
+    assert _next_chunk(2e-12, 1e-12, 0.25, 24) == 6
+    # moderate gap -> half chunk; big gap -> full chunk
+    assert _next_chunk(1e-6, 1e-12, 0.1, 24) == 12
+    assert _next_chunk(1.0, 1e-12, 0.9, 24) == 24
+
+    # rho updates keep the WORST (largest) contraction and ignore noise
+    r = _update_rho(None, 1.0, 0.01, 8)
+    assert 0 < r < 1
+    r2 = _update_rho(r, 1.0, 0.5, 8)        # slower chunk -> dominates
+    assert r2 > r
+    assert _update_rho(r2, 1.0, 2.0, 8) == r2   # residual grew: unchanged
+    assert _update_rho(r2, 0.0, 1.0, 8) == r2   # degenerate: unchanged
