@@ -178,6 +178,18 @@ def main():
         z = z + p01 @ z1
         return jac(a, inv_d, r, z, nu)
 
+    def cycle2_exact_h(r, nu=2):
+        # exact coarse-1 + symmetric Hiptmair vertex-space correction: the
+        # Whitney near-kernel (gradient fields) is invisible to point
+        # smoothers; projecting the residual through d0 onto vertex
+        # potentials and Jacobi-smoothing THERE damps it directly.
+        z = jac(a, inv_d, r, np.zeros_like(r), nu)
+        z = vertex_corr(r, z)
+        r1 = p01.T @ (r - a @ z)
+        z = z + p01 @ get_a1_lu().solve(r1)
+        z = vertex_corr(r, z)
+        return jac(a, inv_d, r, z, nu)
+
     def cycle2_exact_w(r, nu=2, m_corr=2):
         # W-ish: m_corr exact coarse corrections with a smoothing pass between
         z = jac(a, inv_d, r, np.zeros_like(r), nu)
@@ -407,6 +419,8 @@ def main():
         "mg2_exact_nu2": lambda r: cycle2_exact(r, nu=2),
         "mg2_exact_nu3": lambda r: cycle2_exact(r, nu=3),
         "mg2_exact_nu4": lambda r: cycle2_exact(r, nu=4),
+        "mg2_exact_nu1_h": lambda r: cycle2_exact_h(r, nu=1),
+        "mg2_exact_nu2_h": lambda r: cycle2_exact_h(r, nu=2),
         "mg2_exact_w2_nu1": lambda r: cycle2_exact_w(r, nu=1, m_corr=2),
         "mg2_exact_w2_nu2": lambda r: cycle2_exact_w(r, nu=2, m_corr=2),
         "mg2_exact_w3_nu1": lambda r: cycle2_exact_w(r, nu=1, m_corr=3),
