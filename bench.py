@@ -96,11 +96,25 @@ def main():
     time.sleep(cooldown)
 
     results = []
+    error = None
     for i in range(draws):
-        results.append(one_draw(paths, size, levels))
+        try:
+            results.append(one_draw(paths, size, levels))
+        except Exception as exc:   # e.g. the tunneled backend going away
+            error = f"draw {i + 1}: {type(exc).__name__}: {exc}"
+            print(f"[bench] {error}", file=sys.stderr, flush=True)
+            break
         print(f"[bench] draw {i + 1}/{draws}: "
               f"{json.dumps(results[-1], default=float)}", file=sys.stderr,
               flush=True)
+
+    if not results:
+        # Emit an honest failure record rather than no JSON line at all.
+        print(json.dumps({
+            "metric": "texels_per_sec_per_chip_2k_atlas", "value": 0.0,
+            "unit": "texels/s", "vs_baseline": 0.0,
+            "detail": {"error": error or "no draws completed"}}))
+        return
 
     rates = sorted(d["e2e_texels_per_sec"] for d in results)
     value = statistics.median(rates)
@@ -116,7 +130,8 @@ def main():
         "detail": {
             "atlas": size,
             "levels": levels,
-            "protocol": f"median of {draws} end-to-end draws, one process",
+            "protocol": f"median of {len(results)}/{draws} end-to-end draws, "
+                        f"one process" + (f"; aborted: {error}" if error else ""),
             "draw_e2e_texels_per_sec": rates,
             "draw_pipeline_texels_per_sec": sorted(
                 d["pipeline_texels_per_sec"] for d in results),
