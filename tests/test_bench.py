@@ -1,0 +1,60 @@
+"""bench.py protocol: median of completed draws, honest failure records."""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture
+def bench_mod():
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _draw_stub(rate):
+    return {"init_s": 1.0, "levels_s": 1.0, "advect_s": 1.0, "total_s": 3.0,
+            "e2e_texels_per_sec": rate, "pipeline_texels_per_sec": 2 * rate,
+            "final_alignment_error": 0.0, "level_seconds": [],
+            "level_stage_seconds": [], "flow_eff_gbps": [],
+            "init_profile": {}, "triangles": 1}
+
+
+def test_bench_partial_protocol_on_backend_loss(bench_mod, monkeypatch, capsys):
+    """A draw failure (e.g. the tunnel going away) reports the median of the
+    COMPLETED draws with the abort reason, not a crash with no JSON."""
+    monkeypatch.setenv("BENCH_COOLDOWN_S", "0")
+    monkeypatch.setenv("BENCH_DRAWS", "3")
+    state = {"n": 0}
+
+    def fake_draw(paths, size, levels):
+        state["n"] += 1
+        if state["n"] > 2:
+            raise RuntimeError("backend gone")
+        return _draw_stub(100.0 * state["n"])
+
+    monkeypatch.setattr(bench_mod, "one_draw", fake_draw)
+    bench_mod.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(out)
+    assert d["value"] == 150.0           # median of the two completed draws
+    assert "aborted: draw 3" in d["detail"]["protocol"]
+    assert "2/3" in d["detail"]["protocol"]
+
+
+def test_bench_zero_draws_failure_record(bench_mod, monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_COOLDOWN_S", "0")
+    monkeypatch.setenv("BENCH_DRAWS", "2")
+
+    def fake_draw(paths, size, levels):
+        raise RuntimeError("backend never came up")
+
+    monkeypatch.setattr(bench_mod, "one_draw", fake_draw)
+    bench_mod.main()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] == 0.0
+    assert "backend never came up" in d["detail"]["error"]
