@@ -24,9 +24,61 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Stall watchdog.  When the tunneled device is fully down, jax backend init
+# (make_c_api_client) blocks FOREVER with no exception to catch — a bare
+# bench would hang instead of reporting.  A daemon thread watches a progress
+# heartbeat; if nothing moves for BENCH_STALL_S it prints the honest result
+# line (median of completed draws, or a failure record) and exits the
+# process.  The threshold sits above the documented 0-25 min first-fetch
+# wedge so a slow-but-alive draw is never cut short.
+# ---------------------------------------------------------------------------
+_progress = {"t": time.time(), "done": False, "results": [], "stage": "start"}
+
+
+def _heartbeat(stage):
+    _progress["t"] = time.time()
+    _progress["stage"] = stage
+
+
+def _emit(results, note):
+    rates = sorted(d["e2e_texels_per_sec"] for d in results)
+    reference_texels_per_sec = 2048 * 2048 / 181.0
+    if rates:
+        value = statistics.median(rates)
+        detail = {
+            "protocol": f"median of {len(results)} completed draws; {note}",
+            "draw_e2e_texels_per_sec": rates,
+            "draws": results,
+        }
+    else:
+        value = 0.0
+        detail = {"error": note}
+    print(json.dumps({
+        "metric": "texels_per_sec_per_chip_2k_atlas",
+        "value": round(value, 1), "unit": "texels/s",
+        "vs_baseline": round(value / reference_texels_per_sec, 4),
+        "detail": detail}), flush=True)
+
+
+def _watchdog(stall_s):
+    while True:
+        time.sleep(15)
+        if _progress["done"]:
+            return
+        idle = time.time() - _progress["t"]
+        if idle > stall_s:
+            note = (f"backend stalled {int(idle)} s at stage "
+                    f"'{_progress['stage']}' (tunnel down?)")
+            print(f"[bench] watchdog: {note}", file=sys.stderr, flush=True)
+            if not _progress["done"]:
+                _emit(_progress["results"], note)
+            os._exit(0)
 
 
 def one_draw(paths, size, levels):
@@ -73,6 +125,8 @@ def main():
     size = int(os.environ.get("BENCH_ATLAS", "2048"))
     levels = int(os.environ.get("BENCH_LEVELS", "10"))
     draws = int(os.environ.get("BENCH_DRAWS", "3"))
+    stall_s = float(os.environ.get("BENCH_STALL_S", "2100"))
+    threading.Thread(target=_watchdog, args=(stall_s,), daemon=True).start()
 
     from PIL import Image
 
@@ -94,10 +148,12 @@ def main():
     # measurement starts — environment hygiene, not pipeline work.
     cooldown = float(os.environ.get("BENCH_COOLDOWN_S", "60"))
     time.sleep(cooldown)
+    _heartbeat("backend_init")
 
-    results = []
+    results = _progress["results"]
     error = None
     for i in range(draws):
+        _heartbeat(f"draw {i + 1}")
         try:
             results.append(one_draw(paths, size, levels))
         except Exception as exc:   # e.g. the tunneled backend going away
@@ -107,6 +163,7 @@ def main():
         print(f"[bench] draw {i + 1}/{draws}: "
               f"{json.dumps(results[-1], default=float)}", file=sys.stderr,
               flush=True)
+    _progress["done"] = True
 
     if not results:
         # Emit an honest failure record rather than no JSON line at all.

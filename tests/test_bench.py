@@ -46,6 +46,38 @@ def test_bench_partial_protocol_on_backend_loss(bench_mod, monkeypatch, capsys):
     assert "2/3" in d["detail"]["protocol"]
 
 
+def test_bench_watchdog_emits_partial_on_stall(bench_mod, monkeypatch, capsys):
+    """If the backend hangs (no exception to catch), the watchdog prints the
+    median of completed draws and exits instead of hanging forever."""
+    bench_mod._progress["results"].append(_draw_stub(100.0))
+    bench_mod._progress["t"] = 0.0          # last heartbeat: epoch
+    bench_mod._progress["stage"] = "draw 2"
+
+    def fake_exit(code):
+        raise SystemExit(code)
+
+    monkeypatch.setattr(bench_mod.os, "_exit", fake_exit)
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    with pytest.raises(SystemExit):
+        bench_mod._watchdog(stall_s=1.0)
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] == 100.0
+    assert "stalled" in d["detail"]["protocol"]
+
+
+def test_bench_watchdog_failure_record_when_no_draws(bench_mod, monkeypatch, capsys):
+    bench_mod._progress["t"] = 0.0
+    bench_mod._progress["stage"] = "backend_init"
+    monkeypatch.setattr(bench_mod.os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    with pytest.raises(SystemExit):
+        bench_mod._watchdog(stall_s=1.0)
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] == 0.0
+    assert "backend_init" in d["detail"]["error"]
+
+
 def test_bench_zero_draws_failure_record(bench_mod, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_COOLDOWN_S", "0")
     monkeypatch.setenv("BENCH_DRAWS", "2")
