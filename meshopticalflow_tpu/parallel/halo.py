@@ -72,7 +72,7 @@ class HaloEll:
 
 
 def _halo_matvec(mesh: Mesh, axis: str, halo: int, cols_local, vals_p, xp):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 top-level API
 
     n_dev = mesh.devices.size
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]

@@ -112,7 +112,7 @@ def advect_texture_sharded(
     """Texel advection sharded over lanes with replicated mesh tables — the
     context-parallel analog for large atlases (SURVEY.md section 5). Lanes
     must divide the device count (pad with -1 texels)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 top-level API
 
     n = mesh.devices.size
     if src_t.shape[0] % n:

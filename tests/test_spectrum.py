@@ -25,7 +25,11 @@ def _dense_reference_spectrum(host, mesh, k):
     g_mass = sp.block_diag([mesh.g[i] * mesh.area[i] for i in range(t)], format="csr")
     m = (p.T @ g_mass @ p).tocsc()
     s = sp.csc_matrix(host.smooth)
-    lams, vecs = spla.eigsh(s, k=k, M=m, sigma=1e-8, which="LM")
+    # Deterministic start: ARPACK's default v0 draws from numpy's GLOBAL
+    # RNG, so the oracle itself would depend on test order (observed: a bad
+    # draw misconverges inside the subdiv-3 sphere's degenerate clusters).
+    v0 = np.random.default_rng(7).normal(size=s.shape[0])
+    lams, vecs = spla.eigsh(s, k=k, M=m, sigma=1e-8, which="LM", v0=v0)
     order = np.argsort(lams)
     return lams[order], vecs[:, order]
 
