@@ -72,6 +72,14 @@ class FlowConfig:
     # true residual round 1 hands to round 2; 1e-4 converges in 96 total
     # iters vs 120 with the same final rel residual < 3e-9.
     flow_refine_floor: float = 1e-4
+    # Warm-start each level's flow solve from the previous level's solved
+    # direction (the basis lives on the fixed mesh, so the DoF space is the
+    # same at every level). Harmless when the directions decorrelate: the
+    # refinement loop only keeps a warm start that actually reduces the
+    # initial residual, and its adaptive inner tolerance converts any head
+    # start into fewer round-1 iterations. Final accuracy is governed by
+    # flow_refine_tol either way.
+    flow_warm_start: bool = True
     use_multigrid: bool = True  # geometric MG when a subdivision hierarchy exists
     # 2: host-factored coarse; 3: fully on-device (SA patch coarsest + tiled
     # fine SpMV) — 1.5x faster per flow solve on TPU, identical trajectories.

@@ -317,7 +317,7 @@ def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
-                 config: FlowConfig, coarse=None, patch=None):
+                 config: FlowConfig, coarse=None, patch=None, x0=None):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
@@ -329,13 +329,14 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                mg_nu=config.mg_nu,
                                mg_fine_cheb=config.mg_fine_cheb,
                                refine_tol=config.flow_refine_tol,
-                               refine_floor=config.flow_refine_floor)
+                               refine_floor=config.flow_refine_floor,
+                               x0=x0)
 
 
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
                 vpatch=None, want_resampled: bool = False,
-                compact_trace: bool = False):
+                compact_trace: bool = False, warm_x=None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve. ``want_resampled`` additionally returns the advected per-vertex
@@ -353,7 +354,8 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     _t2 = time.time()
     resampled = _resampled_signals(arrays, smoothed, t1, p1) if want_resampled else None
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
-                                                    v_weight, config, coarse, patch)
+                                                    v_weight, config, coarse, patch,
+                                                    x0=warm_x)
     _t3 = time.time()
     from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
@@ -944,6 +946,12 @@ class FlowProblem:
                     coeffs, tfield = self.coeffs, self.tfield
                     start_level = lvl + 1
         metrics: List[Dict] = []
+        # Warm start across levels: the flow DoF space is level-invariant
+        # (the basis lives on the fixed mesh), so the previous level's solved
+        # direction seeds the next level's refinement. Restored from the
+        # checkpoint on resume so resumed runs stay deterministic.
+        warm_x = getattr(self, "_warm_x", None) if cfg.flow_warm_start else None
+        self._warm_x = None
         for level in range(start_level, cfg.levels):
             t0 = time.time()
             coeffs, tfield, stats, resampled = _level_step(
@@ -951,7 +959,10 @@ class FlowProblem:
                 jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
                 getattr(self, "vpatch", None), want_resampled=debug_dir is not None,
-                compact_trace=self.device_mesh is None)
+                compact_trace=self.device_mesh is None, warm_x=warm_x)
+            if cfg.flow_warm_start:
+                from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
+                warm_x = LAST_FLOW_SOLVE.get("x")
             if level == start_level and getattr(self, "_exp_exhausted", None) is not None:
                 stats["exp_remap_exhausted"] = self._exp_exhausted
                 self._exp_exhausted = None
@@ -981,7 +992,7 @@ class FlowProblem:
                 self.coeffs, self.tfield = coeffs, tfield
                 self.save_checkpoint(
                     os.path.join(checkpoint_dir, f"level_{level:03d}.npz"),
-                    level, s_weight, v_weight)
+                    level, s_weight, v_weight, warm_x=warm_x)
         self.coeffs, self.tfield = coeffs, tfield
         return FlowResult(np.asarray(coeffs), np.asarray(tfield), metrics)
 
@@ -1163,16 +1174,21 @@ class FlowProblem:
         return outs
 
     def save_checkpoint(self, path: str, level: int, s_weight: float,
-                        v_weight: float) -> None:
+                        v_weight: float, warm_x=None) -> None:
         """Mid-run checkpoint of the optimization state (the reference has
-        no resume; SURVEY.md section 5 asks for one)."""
+        no resume; SURVEY.md section 5 asks for one). ``warm_x`` carries the
+        level's solved flow direction so a resumed run warm-starts the next
+        level exactly like the uninterrupted run would."""
+        extra = {} if warm_x is None else {"warm_x": np.asarray(warm_x)}
         np.savez(path, coeffs=np.asarray(self.coeffs), tfield=np.asarray(self.tfield),
-                 level=level, s_weight=s_weight, v_weight=v_weight)
+                 level=level, s_weight=s_weight, v_weight=v_weight, **extra)
 
     def load_checkpoint(self, path: str):
         data = np.load(path)
         self.coeffs = jnp.asarray(data["coeffs"], self.dtype)
         self.tfield = jnp.asarray(data["tfield"], self.dtype)
+        self._warm_x = (jnp.asarray(data["warm_x"], self.dtype)
+                        if "warm_x" in data else None)
         return int(data["level"]), float(data["s_weight"]), float(data["v_weight"])
 
     def write_output(self, path: str, alpha: float = 0.5) -> None:

@@ -250,6 +250,7 @@ def update_optical_flow(
     mg_fine_cheb: int = 0,  # Chebyshev fine-smoother degree (0 = Jacobi)
     refine_tol: float = 3e-9,
     refine_floor: float = 1e-5,
+    x0=None,   # warm start for the flow solve (e.g. previous level's x)
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -372,9 +373,9 @@ def update_optical_flow(
                 lambda r, tol_inner: solver.solve(
                     r, tol=max(cg_tol, tol_inner),
                     max_iters=min(cg_max_iters, 120)),
-                tol=refine_tol, inner_floor=refine_floor)
+                tol=refine_tol, inner_floor=refine_floor, x0=x0)
         else:
-            x, stats = solver.solve(rhs, tol=cg_tol,
+            x, stats = solver.solve(rhs, x0=x0, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))
         LAST_FLOW_SOLVE["gb"] = (float(stats.iterations) * solver.gb_per_iter
                                  if hasattr(solver, "gb_per_iter") else None)
@@ -384,9 +385,14 @@ def update_optical_flow(
         from meshopticalflow_tpu.solvers.refine import ell_solve_refined
         x, stats = ell_solve_refined(basis.ell_cols, sys_vals, diag, rhs,
                                      inner_tol=max(cg_tol, 1e-6),
-                                     inner_iters=cg_max_iters, chunk=cg_chunk)
+                                     inner_iters=cg_max_iters, chunk=cg_chunk,
+                                     x0=x0)
     else:
-        x, stats = ell_pcg(basis.ell_cols, sys_vals, diag, rhs,
+        x, stats = ell_pcg(basis.ell_cols, sys_vals, diag, rhs, x0=x0,
                            tol=cg_tol, max_iters=cg_max_iters, chunk=cg_chunk)
+    # Solved direction, readable by the caller right after this returns —
+    # the pipeline feeds it back as next level's warm start (same reporting
+    # pattern as the "gb" key above).
+    LAST_FLOW_SOLVE["x"] = x
     new_coeffs, tfield = finalize_flow_step(basis, coeffs, x, dt_vals, rhs)
     return new_coeffs, tfield, stats

@@ -58,7 +58,7 @@ def _df32_available() -> bool:
 
 def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
                 max_rounds: int = 5, inner_floor: float = 1e-6,
-                residuals: str = "auto"):
+                residuals: str = "auto", x0=None):
     """Iterative refinement around an arbitrary inner solver.
 
     ``inner_solve(r_device, inner_tol) -> (e_device, CGStats)`` approximately
@@ -70,6 +70,12 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
     per-round inner tolerance adapts: round k only needs to close the
     REMAINING gap (tol / rel), so late rounds run a fraction of the first
     round's iterations.
+
+    ``x0`` warm-starts the refinement (e.g. the previous level's solved
+    direction): round 1 then only closes the gap b - A x0, and the adaptive
+    inner tolerance turns any head start directly into fewer iterations.
+    A useless x0 is harmless — the first round's residual is just ~||b||
+    and the best-iterate tracking keeps whatever is better.
     """
     if residuals == "auto":
         # df32 targets the f32 production path; f64 problems (CPU oracle
@@ -78,7 +84,7 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
                                  and _df32_available()) else "host"
     if residuals == "device":
         return _refine_loop_device(cols, vals, b, inner_solve, tol,
-                                   max_rounds, inner_floor)
+                                   max_rounds, inner_floor, x0=x0)
     a_host = _host_csr(cols, vals)
     b_host = np.asarray(b, np.float64)
     b_norm = float(np.linalg.norm(b_host))
@@ -86,6 +92,11 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
         return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                           jnp.asarray(0.0, b.dtype))
     x = np.zeros_like(b_host)
+    if x0 is not None:
+        x_cand = np.asarray(x0, np.float64)
+        if (x_cand.shape == b_host.shape
+                and np.linalg.norm(b_host - a_host @ x_cand) < b_norm):
+            x = x_cand
     total_iters = 0
     best_x, best_rel = x, np.inf
     prev_rel = np.inf
@@ -112,7 +123,7 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
 
 
 def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
-                        max_rounds: int, inner_floor: float):
+                        max_rounds: int, inner_floor: float, x0=None):
     """Device-resident refinement: x lives as a df32 (hi, lo) pair, the
     residual SpMV runs compensated f32 on the ELL layout, and the host only
     fetches [||r||^2, max|r|] each round (VERDICT r2 next #5)."""
@@ -125,7 +136,8 @@ def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
         return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                           jnp.asarray(0.0, b.dtype))
     b_norm = float(np.sqrt(b_norm2))
-    x_hi = jnp.zeros_like(b_f32)
+    warm = x0 is not None and x0.shape == b.shape
+    x_hi = x0.astype(jnp.float32) if warm else jnp.zeros_like(b_f32)
     x_lo = jnp.zeros_like(b_f32)
     total_iters = 0
     rounds = []   # (inner_iters, outer_rel_before) observability trail
@@ -135,6 +147,14 @@ def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
         r_hi, r_lo, stats = ell_residual_df(cols, vals_f32, x_hi, x_lo, b_f32)
         stats_h = np.asarray(stats)
         rel = float(np.sqrt(max(stats_h[0], 0.0))) / b_norm
+        if warm and round_idx == 0 and rel >= 1.0:
+            # The warm start did not reduce the residual — discard it and
+            # fall back to the zero start, whose residual is exactly b
+            # (mirrors the host path's accept guard; no extra SpMV needed).
+            x_hi = jnp.zeros_like(b_f32)
+            r_hi, r_lo = b_f32, jnp.zeros_like(b_f32)
+            stats_h = np.asarray([b_norm2, float(jnp.max(jnp.abs(b_f32)))])
+            rel = 1.0
         if rel < best_rel:
             best_x, best_rel = x_hi, rel
         # Stop at the target, near the df32 noise floor, at stagnation
@@ -173,6 +193,7 @@ def ell_solve_refined(
     inner_iters: int = 2000,
     chunk: int = 128,
     residuals: str = "auto",
+    x0=None,
 ) -> Tuple[jnp.ndarray, CGStats]:
     """Solve A x = b to ~float64 residual accuracy. Returns (x as b.dtype,
     stats with total inner iterations and the final f64-grade relative
@@ -189,7 +210,7 @@ def ell_solve_refined(
             lambda r, t: ell_pcg(cols, vals, diag, r,
                                  tol=min(max(t, inner_tol), 0.5),
                                  max_iters=inner_iters, chunk=chunk),
-            tol, max_rounds, inner_tol)
+            tol, max_rounds, inner_tol, x0=x0)
     a_host = _host_csr(cols, vals)
     b_host = np.asarray(b, np.float64)
     b_norm = float(np.linalg.norm(b_host))
@@ -197,6 +218,11 @@ def ell_solve_refined(
         return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                           jnp.asarray(0.0, b.dtype))
     x = np.zeros_like(b_host)
+    if x0 is not None:
+        x_cand = np.asarray(x0, np.float64)
+        if (x_cand.shape == b_host.shape
+                and np.linalg.norm(b_host - a_host @ x_cand) < b_norm):
+            x = x_cand
     total_iters = 0
     best_x, best_rel = x, 1.0
     prev_rel = np.inf

@@ -140,6 +140,25 @@ def test_texture_pipeline_smoke(tmp_path):
     np.testing.assert_array_equal(prob.halfway_texture(), host_q)
 
 
+def test_flow_warm_start_matches_cold():
+    """Warm-starting each level's flow solve from the previous level's
+    direction must not change the trajectory: the refinement loop converges
+    both runs to the same outer residual (flow_refine_tol), so the final
+    fields agree to solver tolerance. Runs the production MG + refinement
+    stack (hierarchy=True) in f32 to exercise the device-residual path."""
+    import dataclasses
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+    cfg = FlowConfig(levels=3, dtype="float32", dog_weight=0.0)
+    res_w = synthetic_sphere_problem(cfg, subdiv=2, hierarchy=True).run()
+    cfg_c = dataclasses.replace(cfg, flow_warm_start=False)
+    res_c = synthetic_sphere_problem(cfg_c, subdiv=2, hierarchy=True).run()
+    errs_w = [m["alignment_error"] for m in res_w.metrics]
+    errs_c = [m["alignment_error"] for m in res_c.metrics]
+    np.testing.assert_allclose(errs_w, errs_c, rtol=1e-3)
+    scale = max(1e-12, float(np.abs(res_c.tfield).max()))
+    np.testing.assert_allclose(res_w.tfield, res_c.tfield, atol=2e-3 * scale)
+
+
 def test_checkpoint_resume(tmp_path):
     """Interrupted runs resume deterministically from the last level."""
     from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
