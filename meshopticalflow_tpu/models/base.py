@@ -370,9 +370,9 @@ def update_optical_flow(
             # on the reference Example at RMSE 0.115 vs the rebuilt binary).
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,
-                lambda r, tol_inner: solver.solve(
+                lambda r, tol_inner, rn2=None: solver.solve(
                     r, tol=max(cg_tol, tol_inner),
-                    max_iters=min(cg_max_iters, 120)),
+                    max_iters=min(cg_max_iters, 120), b_norm2=rn2),
                 tol=refine_tol, inner_floor=refine_floor, x0=x0)
         else:
             x, stats = solver.solve(rhs, x0=x0, tol=cg_tol,

@@ -152,8 +152,12 @@ def ell_pcg(
     tol: float = 1e-7,
     max_iters: int = 1000,
     chunk: int = 128,
+    b_norm2: Optional[float] = None,
 ):
-    """Jacobi-PCG on a padded-ELL matrix, chunked for bounded dispatch time."""
+    """Jacobi-PCG on a padded-ELL matrix, chunked for bounded dispatch time.
+
+    ``b_norm2``: caller-known ||b||^2 (max column-norm^2 for multi-rhs) —
+    skips the device norm fetch, one host round trip saved per call."""
     import numpy as np
 
     inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
@@ -168,7 +172,8 @@ def ell_pcg(
         r = b - ax
     z = inv_diag[:, None] * r if multi else inv_diag * r
     rz = jnp.einsum("nc,nc->c", r, z) if multi else jnp.vdot(r, z)
-    b2 = float(jnp.max(jnp.einsum("nc,nc->c", b, b)) if multi else jnp.vdot(b, b))
+    b2 = b_norm2 if b_norm2 is not None else \
+        float(jnp.max(jnp.einsum("nc,nc->c", b, b)) if multi else jnp.vdot(b, b))
     if b2 == 0:
         return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32), jnp.asarray(0.0, b.dtype))
     p = z

@@ -118,6 +118,35 @@ def ell_residual_df(cols, vals, x_hi, x_lo, b, mode: str = ""):
     return _ell_residual_from_products(cols, vals, x_hi, x_lo, b, prods, mode)
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _ell_residual_scaled_from_products(cols, vals, x_hi, x_lo, b, prods,
+                                       mode: str):
+    r_hi, r_lo, stats = _ell_residual_from_products(cols, vals, x_hi, x_lo, b,
+                                                    prods, mode)
+    scale = stats[1]
+    r_scaled = (r_hi + r_lo) / jnp.where(scale > 0, scale, 1.0)
+    return r_scaled, stats
+
+
+def ell_residual_df_scaled(cols, vals, x_hi, x_lo, b, mode: str = ""):
+    """Fused variant of :func:`ell_residual_df` for the refinement loop's hot
+    path: returns (r_scaled, stats) where r_scaled = (r_hi + r_lo) / max|r_hi|
+    is computed ON DEVICE in the same dispatch as the reduction. The host
+    previously issued three extra eager dispatches per refinement round
+    (add, divide, astype) between the stats fetch and the inner solve — at
+    ~50 ms dispatch latency each on the tunneled runtime that was a
+    measurable slice of every flow solve. The arithmetic (add then divide by
+    the identical f32 scalar) is unchanged, so r_scaled is bit-identical to
+    the unfused path; the scale itself reaches the host in the same stats
+    transfer (stats[1])."""
+    mode = mode or df32_mode(jax.default_backend())
+    if mode == "host":
+        raise RuntimeError("df32 unsupported on this backend; use host residuals")
+    prods = _ell_products(cols, vals, x_hi)
+    return _ell_residual_scaled_from_products(cols, vals, x_hi, x_lo, b,
+                                              prods, mode)
+
+
 @jax.jit
 def df_update(x_hi, x_lo, e, scale):
     """x <- x + e * scale in df32 (e f32, scale f32 scalar).
@@ -153,10 +182,22 @@ def _mini_oracle_ok(mode: str) -> bool:
                                         jnp.asarray(x_hi), jnp.asarray(x_lo),
                                         jnp.asarray(b32), mode=mode)
         r_df = np.asarray(r_hi, np.float64) + np.asarray(r_lo, np.float64)
+        # The fused scaled variant compiles the same chain in a LARGER
+        # fusion context, where LLVM contraction decisions can differ —
+        # verify its compensation survives too (it feeds the production
+        # refinement loop). r_scaled collapses hi+lo to one f32 vector, so
+        # the verifiable bound is f32 eps of the residual, not eps^2.
+        r_s, stats = ell_residual_df_scaled(
+            jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(x_hi),
+            jnp.asarray(x_lo), jnp.asarray(b32), mode=mode)
+        sc = float(np.asarray(stats)[1]) or 1.0
+        r_fused = np.asarray(r_s, np.float64) * sc
     except Exception:
         return False
     scale = float(np.linalg.norm(b32)) or 1.0
-    return bool(np.linalg.norm(r_df - r64) / scale < 1e-11)
+    r_norm = float(np.linalg.norm(r64)) or 1.0
+    return bool(np.linalg.norm(r_df - r64) / scale < 1e-11
+                and np.linalg.norm(r_fused - r64) / r_norm < 1e-5)
 
 
 @functools.lru_cache(maxsize=4)

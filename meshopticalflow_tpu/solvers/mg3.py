@@ -121,9 +121,12 @@ class ThreeLevelSolver:
         self.nu = nu
 
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-7,
-              max_iters: int = 200, chunk: int = 8):
+              max_iters: int = 200, chunk: int = 8,
+              b_norm2: Optional[float] = None):
         multi = b.ndim == 2
-        b_norm2 = float(jnp.max(_dots(b, b))) if multi else float(jnp.vdot(b, b))
+        if b_norm2 is None:
+            b_norm2 = float(jnp.max(_dots(b, b))) if multi \
+                else float(jnp.vdot(b, b))
         if b_norm2 == 0:
             return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                               jnp.asarray(0.0, b.dtype))

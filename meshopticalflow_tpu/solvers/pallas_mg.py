@@ -755,7 +755,8 @@ class PallasMG3Solver:
         return self._cheb_bounds
 
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-6,
-              max_iters: int = 200, chunk: int = 24):
+              max_iters: int = 200, chunk: int = 24,
+              b_norm2: Optional[float] = None):
         pack = self.pack
         if self.c1_dinv is None and self.chol2 is None:
             raise RuntimeError(
@@ -765,7 +766,10 @@ class PallasMG3Solver:
         else:
             cheb_lmin = cheb_lmax = jnp.asarray(1.0, jnp.float32)
         b_t = to_tiles(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
-        b_norm2 = float(jnp.vdot(b_t, b_t))
+        # Caller-known ||b||^2 skips a device fetch (~0.1-0.3 s each on the
+        # tunneled runtime; the refinement loop calls solve() every round).
+        if b_norm2 is None:
+            b_norm2 = float(jnp.vdot(b_t, b_t))
         if b_norm2 == 0:
             return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                               jnp.asarray(0.0, b.dtype))

@@ -61,8 +61,10 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
                 residuals: str = "auto", x0=None):
     """Iterative refinement around an arbitrary inner solver.
 
-    ``inner_solve(r_device, inner_tol) -> (e_device, CGStats)`` approximately
-    solves A e = r to relative tolerance ``inner_tol``; outer residuals are
+    ``inner_solve(r_device, inner_tol, r_norm2) -> (e_device, CGStats)``
+    approximately solves A e = r to relative tolerance ``inner_tol``;
+    ``r_norm2`` is the (host-known) squared norm of the passed r so the
+    inner solver can skip its own device norm fetch. Outer residuals are
     evaluated to ~f64 accuracy ON DEVICE via double-float arithmetic
     (solvers/df32.py) — only two convergence scalars cross the tunnel per
     round. ``residuals="host"`` keeps the round-2 f64 scipy CSR path
@@ -110,7 +112,11 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
         prev_rel = rel
         scale = float(np.max(np.abs(r))) or 1.0
         inner_tol = min(max(tol / rel, inner_floor), 0.5)
-        e, stats = inner_solve(jnp.asarray(r / scale, b.dtype), inner_tol)
+        # r_norm2=None: the f64 oracle path keeps the inner solver's own
+        # norm computation so its iteration counts stay bit-stable (golden
+        # parity); the device path is where the fetch economy matters.
+        e, stats = inner_solve(jnp.asarray(r / scale, b.dtype), inner_tol,
+                               None)
         total_iters += int(stats.iterations)
         x = x + np.asarray(e, np.float64) * scale
     else:
@@ -122,16 +128,39 @@ def refine_loop(cols, vals, b, inner_solve, tol: float = 1e-12,
                                                  jnp.asarray(min(best_rel, 1e30), b.dtype))
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _vec_stats(v):
+    """[||v||^2, max|v|] in one dispatch (the refinement entry fetch)."""
+    return jnp.stack([jnp.vdot(v, v), jnp.max(jnp.abs(v))])
+
+
+@_jax.jit
+def _scale_vec(v, scale):
+    return v / scale
+
+
 def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
                         max_rounds: int, inner_floor: float, x0=None):
     """Device-resident refinement: x lives as a df32 (hi, lo) pair, the
     residual SpMV runs compensated f32 on the ELL layout, and the host only
-    fetches [||r||^2, max|r|] each round (VERDICT r2 next #5)."""
-    from meshopticalflow_tpu.solvers.df32 import df_update, ell_residual_df
+    fetches [||r||^2, max|r|] each round (VERDICT r2 next #5).
+
+    Dispatch economy (each host round trip is ~0.1-0.3 s on the tunneled
+    runtime): the residual, its norms, and the 1/max|r| scaling fuse into
+    ONE device dispatch + one fetch per round (df32.ell_residual_df_scaled);
+    the cold first round skips the residual entirely (it is exactly b, whose
+    norms the entry fetch already produced); and the known ||r_scaled||^2 is
+    handed to the inner solver so it does not re-fetch its own b-norm."""
+    from meshopticalflow_tpu.solvers.df32 import (df_update,
+                                                  ell_residual_df_scaled)
 
     vals_f32 = vals.astype(jnp.float32)
     b_f32 = b.astype(jnp.float32)
-    b_norm2 = float(jnp.vdot(b_f32, b_f32))
+    stats0 = np.asarray(_vec_stats(b_f32))
+    b_norm2, b_max = float(stats0[0]), float(stats0[1])
     if b_norm2 == 0:
         return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                           jnp.asarray(0.0, b.dtype))
@@ -144,17 +173,26 @@ def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
     best_x, best_rel = x_hi, np.inf
     prev_rel = np.inf
     for round_idx in range(max_rounds + 1):
-        r_hi, r_lo, stats = ell_residual_df(cols, vals_f32, x_hi, x_lo, b_f32)
-        stats_h = np.asarray(stats)
-        rel = float(np.sqrt(max(stats_h[0], 0.0))) / b_norm
-        if warm and round_idx == 0 and rel >= 1.0:
-            # The warm start did not reduce the residual — discard it and
-            # fall back to the zero start, whose residual is exactly b
-            # (mirrors the host path's accept guard; no extra SpMV needed).
-            x_hi = jnp.zeros_like(b_f32)
-            r_hi, r_lo = b_f32, jnp.zeros_like(b_f32)
-            stats_h = np.asarray([b_norm2, float(jnp.max(jnp.abs(b_f32)))])
-            rel = 1.0
+        if round_idx == 0 and not warm:
+            # x == 0: the residual IS b (the compensated SpMV of zeros is
+            # exact), so reuse the entry norms instead of dispatching one.
+            scale = b_max or 1.0
+            r_scaled = _scale_vec(b_f32, jnp.float32(scale))
+            rel, r2 = 1.0, b_norm2
+        else:
+            r_scaled, stats = ell_residual_df_scaled(cols, vals_f32, x_hi,
+                                                     x_lo, b_f32)
+            stats_h = np.asarray(stats)
+            r2, scale = float(stats_h[0]), float(stats_h[1]) or 1.0
+            rel = float(np.sqrt(max(r2, 0.0))) / b_norm
+            if warm and round_idx == 0 and rel >= 1.0:
+                # The warm start did not reduce the residual — discard it
+                # and fall back to the zero start, whose residual is exactly
+                # b (mirrors the host path's accept guard; no extra SpMV).
+                x_hi = jnp.zeros_like(b_f32)
+                scale = b_max or 1.0
+                r_scaled = _scale_vec(b_f32, jnp.float32(scale))
+                rel, r2 = 1.0, b_norm2
         if rel < best_rel:
             best_x, best_rel = x_hi, rel
         # Stop at the target, near the df32 noise floor, at stagnation
@@ -164,9 +202,9 @@ def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
                 or round_idx == max_rounds:
             break
         prev_rel = rel
-        scale = float(stats_h[1]) or 1.0
         inner_tol = min(max(tol / rel, inner_floor), 0.5)
-        e, st = inner_solve(((r_hi + r_lo) / scale).astype(b.dtype), inner_tol)
+        e, st = inner_solve(r_scaled.astype(b.dtype), inner_tol,
+                            r2 / (scale * scale))
         total_iters += int(st.iterations)
         rounds.append((int(st.iterations), rel))
         x_hi, x_lo = df_update(x_hi, x_lo, e.astype(jnp.float32),
@@ -207,9 +245,10 @@ def ell_solve_refined(
     if residuals == "device":
         return _refine_loop_device(
             cols, vals, b,
-            lambda r, t: ell_pcg(cols, vals, diag, r,
-                                 tol=min(max(t, inner_tol), 0.5),
-                                 max_iters=inner_iters, chunk=chunk),
+            lambda r, t, rn2=None: ell_pcg(cols, vals, diag, r,
+                                           tol=min(max(t, inner_tol), 0.5),
+                                           max_iters=inner_iters, chunk=chunk,
+                                           b_norm2=rn2),
             tol, max_rounds, inner_tol, x0=x0)
     a_host = _host_csr(cols, vals)
     b_host = np.asarray(b, np.float64)

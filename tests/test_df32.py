@@ -76,6 +76,38 @@ def test_ell_residual_df_vs_f64():
     assert np.isclose(float(stats[0]), float(np.vdot(r_df, r_df)), rtol=1e-3)
 
 
+def test_ell_residual_df_scaled_vs_f64():
+    """The fused scaled residual keeps df32-grade compensation in its own
+    (larger) fusion context: its stats must track the f64 oracle residual
+    even though |r| is ~1e-8 |b| (a broken compensation would report 1e-7 |b|
+    f32 noise instead), and r_scaled * scale must match the oracle residual
+    to f32 eps of |r| (the precision the inner solve consumes)."""
+    from meshopticalflow_tpu.solvers.df32 import ell_residual_df_scaled
+
+    rng = np.random.default_rng(3)
+    n, w = 1024, 7
+    cols, vals = _random_ell(n, w, rng)
+    a = _ell_to_csr(cols, vals)
+    x64 = rng.normal(size=n)
+    b32 = (a @ x64).astype(np.float32)
+    x64p = x64 * (1 + 1e-9 * rng.normal(size=n))
+    x_hi = x64p.astype(np.float32)
+    x_lo = (x64p - x_hi.astype(np.float64)).astype(np.float32)
+    args = (jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(x_hi),
+            jnp.asarray(x_lo), jnp.asarray(b32))
+    r_scaled, stats = ell_residual_df_scaled(*args)
+    x_exact = x_hi.astype(np.float64) + x_lo.astype(np.float64)
+    r64 = b32.astype(np.float64) - a @ x_exact
+    stats_h = np.asarray(stats, np.float64)
+    assert np.isclose(np.sqrt(stats_h[0]), np.linalg.norm(r64), rtol=1e-4)
+    assert np.isclose(stats_h[1], np.max(np.abs(r64)), rtol=1e-4)
+    r_fused = np.asarray(r_scaled, np.float64) * stats_h[1]
+    r_norm = np.linalg.norm(r64)
+    assert np.linalg.norm(r_fused - r64) / r_norm < 1e-5
+    # Sanity: |r| really is in deep-cancellation territory for plain f32.
+    assert r_norm < 1e-6 * np.linalg.norm(b32)
+
+
 def test_df_update_accumulates_beyond_f32():
     x_hi = jnp.zeros(4, jnp.float32)
     x_lo = jnp.zeros(4, jnp.float32)
