@@ -1046,14 +1046,18 @@ class PallasMG3MultiSolver:
         return _solver_gb_per_iter(self)
 
     def solve(self, b, x0: Optional[jnp.ndarray] = None, tol: float = 1e-7,
-              max_iters: int = 200, chunk: int = 16):
+              max_iters: int = 200, chunk: int = 16,
+              b_norm2: Optional[float] = None):
         pack = self.pack
         if self.c1_dinv is None and self.chol2 is None:
             raise RuntimeError(
                 "banded c1 factorization broke down; rebuild with a2_dense")
         c = b.shape[1]
         b_t = to_tiles_multi(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
-        b_norm2 = float(jnp.max(_dots_m(b_t, b_t)))
+        # Caller-known max column ||b||^2 skips a device fetch per call —
+        # the smoothing stage's b is level-invariant, so it caches this.
+        if b_norm2 is None:
+            b_norm2 = float(jnp.max(_dots_m(b_t, b_t)))
         if b_norm2 == 0:
             return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                               jnp.asarray(0.0, b.dtype))
