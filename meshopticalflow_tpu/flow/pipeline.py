@@ -360,6 +360,15 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                x0=x0)
 
 
+@jax.jit
+def _pack_level_scalars(*vals):
+    """Stack the level's diagnostic scalars into one fetchable vector.
+    The widest input dtype wins (f64 on the CPU-oracle paths keeps the
+    alignment error at full precision; TPU runs are f32 throughout)."""
+    dt = jnp.result_type(jnp.float32, *[jnp.asarray(v).dtype for v in vals])
+    return jnp.stack([jnp.asarray(v).astype(dt) for v in vals])
+
+
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
                 vpatch=None, want_resampled: bool = False,
@@ -386,13 +395,19 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     _t3 = time.time()
     from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
+    # One batched fetch for the level's diagnostic scalars: fetching them
+    # one by one from the metrics dict cost ~6 sequential tunnel round
+    # trips per level (each a ~50-100 ms RTT on the tunneled runtime).
+    packed = np.asarray(_pack_level_scalars(
+        sm_stats.iterations, sm_stats.rel_residual, cg_stats.iterations,
+        cg_stats.rel_residual, exhausted, align_err))
     metrics = dict(
-        smooth_iters=sm_stats.iterations, smooth_res=sm_stats.rel_residual,
-        flow_iters=cg_stats.iterations, flow_res=cg_stats.rel_residual,
-        trace_exhausted=exhausted,
+        smooth_iters=float(packed[0]), smooth_res=float(packed[1]),
+        flow_iters=float(packed[2]), flow_res=float(packed[3]),
+        trace_exhausted=float(packed[4]),
         smooth_seconds=_t1 - _t0, trace_seconds=_t2 - _t1,
         solve_seconds=_t3 - _t2,
-        alignment_error=align_err)
+        alignment_error=float(packed[5]))
     # Effective HBM bandwidth of the Pallas solves (streamed-GB model /
     # stage wall): a bandwidth regression — host round trips sneaking into
     # the loop, a de-optimized kernel — shows up here without a profiler.
