@@ -131,6 +131,14 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
     return jnp.concatenate([sig[0], sig[1]], axis=1)
 
 
+@jax.jit
+def _coarse_smooth_system(m0_vals, k0_vals, s_weight, diag_slot):
+    """Coarse smoothing system M0 + w K0 and its diagonal, one dispatch."""
+    c_vals = m0_vals + s_weight * k0_vals
+    c_diag = jnp.take_along_axis(c_vals, diag_slot[:, None], axis=1)[:, 0]
+    return c_vals, c_diag
+
+
 def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
     """Multi-rhs Pallas MG solver for the vertex smoothing system; pattern
     pack cached on the vcoarse handle (+ artifact disk cache)."""
@@ -156,11 +164,17 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
                              cache_key=vcoarse.artifact_key)
         vcoarse.pallas_pack = pack
     sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)
-    c_vals = vcoarse.m0_vals + s_weight * vcoarse.k0_vals
-    n1 = vcoarse.cols0.shape[0]
-    c_diag = jnp.take_along_axis(
-        c_vals, jnp.argmax(vcoarse.cols0 == jnp.arange(n1)[:, None],
-                           axis=1)[:, None], axis=1)[:, 0]
+    # The coarse diagonal slot is static per mesh — computed once on host;
+    # the per-level system + diagonal then assemble in ONE dispatch (the
+    # eager add/mul/eq/argmax/take chain was ~6 per level).
+    slot0 = getattr(vcoarse, "diag_slot0", None)
+    if slot0 is None:
+        cols0_h = np.asarray(vcoarse.cols0)
+        slot0 = jnp.asarray(np.argmax(
+            cols0_h == np.arange(cols0_h.shape[0])[:, None], axis=1), jnp.int32)
+        vcoarse.diag_slot0 = slot0
+    c_vals, c_diag = _coarse_smooth_system(vcoarse.m0_vals, vcoarse.k0_vals,
+                                           s_weight, slot0)
     c1_band = vcoarse.c1_band
     if c1_band is None:
         from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band

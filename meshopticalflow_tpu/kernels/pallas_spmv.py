@@ -365,9 +365,13 @@ def _revalue(slots, ell_vals, sizes: tuple, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("sizes",))
+@functools.partial(jax.jit, static_argnames=("sizes",))
 def _revalue_pair(slots, ell_vals, sizes: tuple):
     """One scatter producing both the f32 and bf16 tile arrays (fusing the
-    cast saves a full extra pass over the tiles per level)."""
+    cast saves a full extra pass over the tiles per level). Jitted: eager,
+    the zeros + scatter + per-bucket reshape/cast chain is ~10 separate
+    dispatches per call at ~50 ms dispatch latency on the tunneled runtime,
+    and solver construction calls this twice per level."""
     total = sum(nr_b * k_b for nr_b, k_b in sizes) * 128 * 128
     flat = jnp.zeros((total,), jnp.float32)
     flat = flat.at[slots].add(ell_vals.ravel().astype(jnp.float32))
@@ -412,6 +416,7 @@ def spmv_tiles_multi(tile_cols, x_tiles, vals_t, interpret: bool = False):
     )(tile_cols.reshape(-1), x_tiles, vals_t)
 
 
+@functools.partial(jax.jit, static_argnames=("nr",))
 def to_tiles_multi(v, perm, nr: int):
     """(n, C<=8) -> (nr, 8, 128) channel-sublane tile layout."""
     n, c = v.shape
@@ -419,6 +424,7 @@ def to_tiles_multi(v, perm, nr: int):
     return vp.reshape(nr, 128, 8).transpose(0, 2, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "c"))
 def from_tiles_multi(vt, inv_perm, n: int, c: int):
     """(nr, 8, 128) -> (n, C)."""
     flat = vt.transpose(0, 2, 1).reshape(-1, 8)[:n, :c]
@@ -427,6 +433,7 @@ def from_tiles_multi(vt, inv_perm, n: int, c: int):
 
 # -- tile-space vector helpers -------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("nr",))
 def to_tiles(v, perm, nr: int):
     """(n,) original-order vector -> (nr, 128) permuted tile layout."""
     n = perm.shape[0]
@@ -434,6 +441,18 @@ def to_tiles(v, perm, nr: int):
     return vp.reshape(nr, 128)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def from_tiles(vt, inv_perm, n: int):
     """(nr, 128) tile layout -> (n,) original order."""
     return vt.reshape(-1)[:n][inv_perm]
+
+
+@functools.partial(jax.jit, static_argnames=("nr",))
+def inv_diag_tiles(diag, perm, nr: int):
+    """Guarded 1/diag in f32 tile layout — the Jacobi smoother operand, as
+    ONE dispatch (the eager where/divide/cast/tile chain was ~6)."""
+    inv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+    n = perm.shape[0]
+    vp = jnp.zeros((nr * 128,), jnp.float32).at[:n].set(
+        inv.astype(jnp.float32)[perm])
+    return vp.reshape(nr, 128)

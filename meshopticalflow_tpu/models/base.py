@@ -170,11 +170,15 @@ def patch_system_dense(q2_idx, q2_wt, d_blocks, scale, vf_smooth_weight, s2_dens
 
 @jax.jit
 def coarse_system_vals(coarse_dev: "BasisDevice", d_blocks, scale, vf_smooth_weight):
-    """Galerkin coarse system values: scale * Q^T D Q + lambda * S0 — the
-    exact P0^T A P0 of the fine system (models/coarse.py)."""
+    """Galerkin coarse system values AND their diagonal: scale * Q^T D Q +
+    lambda * S0 — the exact P0^T A P0 of the fine system (models/coarse.py).
+    The diagonal extraction rides the same dispatch (it was a separate eager
+    take_along_axis per level)."""
     n, w = coarse_dev.ell_cols.shape
     dt0 = data_term_ell_vals(coarse_dev, d_blocks) * scale
-    return dt0.reshape(n, w) + vf_smooth_weight * coarse_dev.s_vals
+    vals = dt0.reshape(n, w) + vf_smooth_weight * coarse_dev.s_vals
+    diag = jnp.take_along_axis(vals, coarse_dev.diag_slot[:, None], axis=1)[:, 0]
+    return vals, diag
 
 
 @jax.jit
@@ -287,8 +291,8 @@ def update_optical_flow(
         # available, else 2-level with host coarse solves), wrapped in
         # mixed-precision iterative refinement for float64-grade residuals.
         from meshopticalflow_tpu.solvers.refine import refine_loop
-        c_vals = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
-                                    vf_smooth_weight)
+        c_vals, c_diag = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
+                                            vf_smooth_weight)
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         if patch is not None and backend == "pallas":
@@ -308,8 +312,6 @@ def update_optical_flow(
                                      int(patch.s2_dense.shape[0]),
                                      cache_key=patch.artifact_key)
                 patch.pallas_pack = pack
-            c_diag = jnp.take_along_axis(
-                c_vals, coarse.coarse_dev.diag_slot[:, None], axis=1)[:, 0]
             c1_band = None
             if mg_coarse_exact:
                 from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band

@@ -39,7 +39,7 @@ from jax import lax
 
 from meshopticalflow_tpu.kernels.pallas_spmv import (
     BlockEllPattern, PallasEll, _revalue_pair, from_tiles, from_tiles_multi,
-    pack_pattern, tile_cols_dev, to_tiles, to_tiles_multi)
+    inv_diag_tiles, pack_pattern, tile_cols_dev, to_tiles, to_tiles_multi)
 from meshopticalflow_tpu.solvers.cg import CGStats
 
 
@@ -703,12 +703,8 @@ class PallasMG3Solver:
                                 interpret=pack.interpret)
         self.c1_bf = PallasEll(pack.c1_pat, tc_1, cbf,
                                interpret=pack.interpret)
-        inv_f = jnp.where(fine_diag != 0, 1.0 / jnp.where(fine_diag != 0,
-                                                          fine_diag, 1.0), 0.0)
-        self.f_invd = to_tiles(inv_f.astype(dtype), pack.fine_perm, pack.fine_nr)
-        inv_1 = jnp.where(c1_diag != 0, 1.0 / jnp.where(c1_diag != 0,
-                                                        c1_diag, 1.0), 0.0)
-        self.c1_invd = to_tiles(inv_1.astype(dtype), pack.c1_perm, pack.c1_nr)
+        self.f_invd = inv_diag_tiles(fine_diag, pack.fine_perm, pack.fine_nr)
+        self.c1_invd = inv_diag_tiles(c1_diag, pack.c1_perm, pack.c1_nr)
         # The dense patch coarsest is only needed by the 3-level fallback
         # cycle; with the banded-exact c1 active, callers skip building and
         # uploading it entirely (a2_dense=None).
@@ -1010,14 +1006,10 @@ class PallasMG3MultiSolver:
                                 interpret=pack.interpret)
         self.c1_bf = PallasEll(pack.c1_pat, tc_1, cbf,
                                interpret=pack.interpret)
-        inv_f = jnp.where(fine_diag != 0, 1.0 / jnp.where(fine_diag != 0,
-                                                          fine_diag, 1.0), 0.0)
-        self.f_invd = to_tiles(inv_f.astype(jnp.float32), pack.fine_perm,
-                               pack.fine_nr)[:, None, :]
-        inv_1 = jnp.where(c1_diag != 0, 1.0 / jnp.where(c1_diag != 0,
-                                                        c1_diag, 1.0), 0.0)
-        self.c1_invd = to_tiles(inv_1.astype(jnp.float32), pack.c1_perm,
-                                pack.c1_nr)[:, None, :]
+        self.f_invd = inv_diag_tiles(fine_diag, pack.fine_perm,
+                                     pack.fine_nr)[:, None, :]
+        self.c1_invd = inv_diag_tiles(c1_diag, pack.c1_perm,
+                                      pack.c1_nr)[:, None, :]
         self.chol2 = None
         if a2_dense is not None:
             a2_dense = jnp.asarray(a2_dense)

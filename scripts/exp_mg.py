@@ -94,7 +94,8 @@ def main():
     from meshopticalflow_tpu.models.base import (coarse_system_vals,
                                                  patch_system_dense)
     c_vals = np.asarray(coarse_system_vals(cs.coarse_dev, d_blocks,
-                                           jnp.asarray(scale), jnp.asarray(lam)))
+                                           jnp.asarray(scale),
+                                           jnp.asarray(lam))[0])
     a1 = ell_to_csr(np.asarray(cs.coarse_dev.ell_cols), c_vals)
     p01 = cs.p0
     a2 = np.asarray(patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,

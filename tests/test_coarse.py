@@ -99,7 +99,7 @@ def test_twolevel_solver_converges_fast(spaces):
     rhs_t = jnp.asarray(rng.normal(size=(fine_mesh.n_triangles, 2)))
     lam = jnp.asarray(1e-3)
     f_sys, f_dt, f_rhs, f_diag, scale = build_flow_system(fine_dev, d_blocks, rhs_t, lam)
-    c_vals = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
+    c_vals, _ = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
     solver = TwoLevelSolver(fine_dev.ell_cols, f_sys, f_diag,
                             cs.coarse_dev.ell_cols, c_vals,
                             cs.p0_idx_dev, cs.p0_wt_dev)

@@ -142,7 +142,7 @@ def test_pallas_mg3_solver_small_sphere(rng):
     lam = jnp.asarray(3e-4, jnp.float32)
     sys_vals, dt_vals, rhs, fdiag, scale = build_flow_system(
         fine_dev, d_blocks, rhs_t, lam)
-    c_vals = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
+    c_vals, _ = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
     a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale, lam,
                             patch.s2_dense)
     n1 = cs.coarse_dev.ell_cols.shape[0]
@@ -334,7 +334,7 @@ def test_pallas_mg3_banded_exact_coarse(rng):
     lam = jnp.asarray(3e-4, jnp.float32)
     sys_vals, dt_vals, rhs, fdiag, scale = build_flow_system(
         fine_dev, d_blocks, rhs_t, lam)
-    c_vals = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
+    c_vals, _ = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
     a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale, lam,
                             patch.s2_dense)
     n1 = cs.coarse_dev.ell_cols.shape[0]
