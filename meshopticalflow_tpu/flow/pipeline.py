@@ -461,6 +461,33 @@ def _advect_texture_step_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src
 
 
 @jax.jit
+def _halfway_lanes(src_t_sorted, src_p_sorted, alpha):
+    """Both textures' march lanes (start states + per-lane flow times) in
+    one dispatch (was three eager concats per output call)."""
+    t2 = jnp.concatenate([src_t_sorted, src_t_sorted])
+    p2 = jnp.concatenate([src_p_sorted, src_p_sorted])
+    n = src_t_sorted.shape[0]
+    times = jnp.concatenate([jnp.full(n, -alpha, alpha.dtype),
+                             jnp.full(n, 1.0 - alpha, alpha.dtype)])
+    return t2, p2, times
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _halfway_tail(c0, c1, order, src_t, tex0, tex1, h: int, w: int):
+    """Scatter the sampled colors back to raster order, fill unclaimed
+    texels with the input blend, and blend + clip + uint8-quantize — one
+    dispatch. Same float ops as the eager chain it replaces (adds and a
+    divide: no FMA-contractible pattern), so the output stays bit-identical
+    to blending the two advected float textures on host."""
+    accum_s = c0 + c1
+    accum = jnp.zeros_like(accum_s).at[order].set(accum_s)
+    base = (jnp.flipud(tex0) + jnp.flipud(tex1)).reshape(-1, 3)
+    accum = jnp.where((src_t >= 0)[:, None], accum, base)
+    blend = (accum / 2.0).reshape(h, w, 3)
+    return jnp.clip(blend, 0, 255).astype(jnp.uint8)
+
+
+@jax.jit
 def _scatter_remapped(src_t, src_p, idx, t1, p1):
     """Scatter the exp-remapped texels back into the device sample table in
     ONE dispatch (two eager .at[].set calls measured ~3.3 s of dispatch
@@ -1172,27 +1199,24 @@ class FlowProblem:
         _t0 = time.time()
         self._ensure_advect_order()
         n = self._advect_src_t.shape[0]
-        t2 = jnp.concatenate([self._advect_src_t, self._advect_src_t])
-        p2 = jnp.concatenate([self._advect_src_p, self._advect_src_p])
-        times = jnp.concatenate([
-            jnp.full(n, -alpha, self.dtype),
-            jnp.full(n, 1.0 - alpha, self.dtype)])
+        t2, p2, times = _halfway_lanes(self._advect_src_t, self._advect_src_p,
+                                       jnp.asarray(alpha, self.dtype))
         t1, p1, exhausted = flow_field_trace_compacted(
             self.arrays.tm, self.tfield, times, t2, p2,
             cfg.flow_min_step, cfg.flow_max_steps)
         if exhausted:
             print(f"[WARNING] texture advection: {exhausted} texel lanes "
                   f"hit the {cfg.flow_max_steps}-step cap", file=_sys.stderr)
-        accum_s = (_fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[0],
-                                 t1[:n], p1[:n], not cfg.nearest)
-                   + _fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[1],
-                                   t1[n:], p1[n:], not cfg.nearest))
-        accum = jnp.zeros_like(accum_s).at[self._advect_order].set(accum_s)
-        base = (jnp.flipud(self.textures[0]) + jnp.flipud(self.textures[1])) \
-            .reshape(-1, 3)
-        accum = jnp.where((self.src_t >= 0)[:, None], accum, base)
-        blend = (accum / 2.0).reshape(h, w, 3)
-        q = jnp.clip(blend, 0, 255).astype(jnp.uint8)
+        # The two texture samplings stay in _fetch_colors' own jit (its
+        # compiled float ops are the bit-identity contract with the
+        # two-pass path); the scatter/where/blend/quantize tail fuses into
+        # one dispatch instead of ~8 eager ones.
+        c0 = _fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[0],
+                           t1[:n], p1[:n], not cfg.nearest)
+        c1 = _fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[1],
+                           t1[n:], p1[n:], not cfg.nearest)
+        q = _halfway_tail(c0, c1, self._advect_order, self.src_t,
+                          self.textures[0], self.textures[1], h, w)
         result = np.asarray(q)
         secs = time.time() - _t0
         self.last_advect_stats = {
