@@ -353,12 +353,17 @@ class BandedCholeskySolver:
         pat = self.pat
         s_blocks = band_revalue(self.slots, ell_vals, pat.m, pat.nb,
                                 pat.bw, pat.n)
-        dmax = float(jnp.max(jnp.abs(ell_vals)))
+        # max|A| is only needed once an attempt has failed; SPD inputs
+        # succeed at the first (usually 0.0) shift without the fetch.
+        dmax = None
         for rel in rel_shifts:
-            l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
+            if rel != 0.0 and dmax is None:
+                dmax = float(jnp.max(jnp.abs(ell_vals)))
+            l_blocks, ok = band_cholesky(s_blocks,
+                                         jnp.float32(rel * (dmax or 0.0)),
                                          pat.nb, pat.bw)
             if bool(ok):
-                self.shift_used = rel * dmax
+                self.shift_used = rel * (dmax or 0.0)
                 self.dinv, self.pbelow = build_solve_panels(l_blocks,
                                                             self.panel_k)
                 self.l_blocks = l_blocks if self.keep_factor else None

@@ -381,9 +381,15 @@ def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag):
 
     s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
                             c1_band.m, c1_band.nb, c1_band.bw, c1_band.n1)
-    dmax = float(jnp.max(jnp.abs(c1_diag)))
+    # The shift scale is only needed after a FAILED first attempt — SPD
+    # systems (every production level) succeed at shift 0, so fetching
+    # max|diag| eagerly was a wasted host round trip per factorization.
+    dmax = None
     for rel in (0.0, 1e-6, 1e-4, 1e-2):
-        l_blocks, ok = band_cholesky(s_blocks, jnp.float32(rel * dmax),
+        if rel != 0.0 and dmax is None:
+            dmax = float(jnp.max(jnp.abs(c1_diag)))
+        l_blocks, ok = band_cholesky(s_blocks,
+                                     jnp.float32(rel * (dmax or 0.0)),
                                      c1_band.nb, c1_band.bw)
         if bool(ok):
             k = max(1, min(4, c1_band.bw // c1_band.nb))
