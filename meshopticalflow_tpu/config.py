@@ -109,6 +109,13 @@ class FlowConfig:
     # measured 2-level-exact count (~59 vs 236-304 at the 2K bench). Falls
     # back to the 3-level cycle on factorization breakdown.
     mg_coarse_exact: bool = True
+    # Store the exact-c1 solve panels in bfloat16: the banded factor is the
+    # largest per-iteration stream of the exact-c1 cycle (~0.5 GB of the
+    # ~2.4 GB/iter at the 2K bench shape). A ~1e-2-accurate coarse solve is
+    # still far stronger than the Chebyshev fallback, and refinement owns
+    # the trajectory — but the outer iteration count may rise; default OFF
+    # until measured on chip (scripts/exp_warm.py --toggle mg_c1_bf16).
+    mg_c1_bf16: bool = False
     # Disk cache of per-mesh init artifacts (subdivision, operators, coarse
     # spaces, kernel pattern packs) under $MESHFLOW_CACHE (utils/artifacts.py).
     artifact_cache: bool = True

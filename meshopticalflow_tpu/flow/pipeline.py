@@ -367,6 +367,7 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                backend=config.flow_backend,
                                mg_cheb_k=config.mg_cheb_k,
                                mg_coarse_exact=config.mg_coarse_exact,
+                               mg_c1_bf16=config.mg_c1_bf16,
                                mg_nu=config.mg_nu,
                                mg_fine_cheb=config.mg_fine_cheb,
                                refine_tol=config.flow_refine_tol,

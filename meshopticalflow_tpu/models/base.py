@@ -250,6 +250,7 @@ def update_optical_flow(
     backend: str = "auto",  # flow SpMV backend: pallas | xla | auto
     mg_cheb_k: int = 1,     # Chebyshev order of the inner coarse-1 solve
     mg_coarse_exact: bool = False,  # banded-Cholesky exact c1 solve
+    mg_c1_bf16: bool = False,  # store the c1 solve panels in bfloat16
     mg_nu: int = 2,         # Jacobi smoothing steps per MG half-cycle
     mg_fine_cheb: int = 0,  # Chebyshev fine-smoother degree (0 = Jacobi)
     refine_tol: float = 3e-9,
@@ -329,7 +330,8 @@ def update_optical_flow(
                 solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
                                          None, cheb_k=mg_cheb_k, nu=mg_nu,
                                          c1_band=c1_band,
-                                         cheb_fine_deg=mg_fine_cheb)
+                                         cheb_fine_deg=mg_fine_cheb,
+                                         c1_bf16=mg_c1_bf16)
                 if solver.c1_l_blocks is None:
                     solver = None   # factorization breakdown: fall back
             if solver is None:

@@ -371,10 +371,18 @@ def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
     return _jac(fine_bf.apply, f_invd, r_t, z, omega, nu)
 
 
-def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag):
+def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag,
+                      bf16: bool = False):
     """Factor the c1 system on its band layout and reblock into solve
     panels. Returns (dinv, pbelow), or (None, None) on total breakdown
-    (caller falls back to the 3-level cycle)."""
+    (caller falls back to the 3-level cycle).
+
+    ``bf16`` stores the solve panels in bfloat16: the banded factor is the
+    single largest per-iteration stream of the exact-c1 MG cycle (two
+    ~bw*n1 passes per outer PCG iteration, ~0.5 GB at the 2K bench shape),
+    and as a PRECONDITIONER component a ~1e-2-accurate coarse solve is
+    still far stronger than the Chebyshev fallback; iterative refinement
+    owns the trajectory either way. Factorization always runs f32."""
     from meshopticalflow_tpu.solvers.banded import (band_cholesky,
                                                     band_revalue,
                                                     build_solve_panels)
@@ -393,7 +401,11 @@ def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag):
                                      c1_band.nb, c1_band.bw)
         if bool(ok):
             k = max(1, min(4, c1_band.bw // c1_band.nb))
-            return build_solve_panels(l_blocks, k)
+            dinv, pbelow = build_solve_panels(l_blocks, k)
+            if bf16:
+                dinv = dinv.astype(jnp.bfloat16)
+                pbelow = pbelow.astype(jnp.bfloat16)
+            return dinv, pbelow
     return None, None
 
 
@@ -674,7 +686,7 @@ class PallasMG3Solver:
                  c1_ell_vals, c1_diag, a2_dense,
                  omega: float = 0.7, nu: int = 2, cheb_k: int = 1,
                  c1_band: Optional[BandedC1] = None,
-                 cheb_fine_deg: int = 0):
+                 cheb_fine_deg: int = 0, c1_bf16: bool = False):
         self.pack = pack
         self.cheb_k = int(cheb_k)
         self.cheb_fine_deg = int(cheb_fine_deg)
@@ -691,7 +703,7 @@ class PallasMG3Solver:
         self.c1_pbelow = None
         if c1_band is not None:
             self.c1_dinv, self.c1_pbelow = _factor_c1_panels(
-                c1_band, c1_ell_vals, c1_diag)
+                c1_band, c1_ell_vals, c1_diag, bf16=c1_bf16)
             # on total breakdown fall back to the 3-level cycle (c1_dinv
             # stays None)
         dtype = jnp.float32

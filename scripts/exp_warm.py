@@ -1,12 +1,12 @@
-"""On-chip experiment: does the cross-level flow-solve warm start pay at
-bench scale?
+"""On-chip A/B experiment over one FlowConfig boolean at bench scale.
 
-Runs interleaved (warm, cold, warm, cold, ...) full pipeline draws of the 2K
+Runs interleaved (on, off, on, off, ...) full pipeline draws of the 2K
 bench workload in ONE process (the only apples-to-apples protocol on the
 throttle-lottery axon tunnel; memory/axon-tpu-quirks.md), reporting per-draw
 level solve seconds, refinement round trails, and total flow iterations.
 
-    python scripts/exp_warm.py [--pairs 2] [--size 2048] [--levels 10]
+    python scripts/exp_warm.py [--pairs 2] [--size 2048] [--levels 10] \
+        [--toggle flow_warm_start | mg_c1_bf16 | ...]
 """
 
 import argparse
@@ -31,7 +31,6 @@ def one(cfg, paths):
     run_s = time.time() - t0
     solve_s = [round(m["solve_seconds"], 2) for m in res.metrics]
     return {
-        "warm": cfg.flow_warm_start,
         "init_s": round(init_s, 1),
         "levels_s": round(run_s, 2),
         "solve_s": solve_s,
@@ -47,6 +46,8 @@ def main():
     ap.add_argument("--pairs", type=int, default=2)
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--levels", type=int, default=10)
+    ap.add_argument("--toggle", default="flow_warm_start",
+                    help="FlowConfig boolean to A/B")
     args = ap.parse_args()
 
     from PIL import Image
@@ -65,10 +66,10 @@ def main():
     from meshopticalflow_tpu.config import FlowConfig
     base = FlowConfig(levels=args.levels)
     for i in range(args.pairs):
-        for warm in (True, False):
-            cfg = dataclasses.replace(base, flow_warm_start=warm)
+        for on in (True, False):
+            cfg = dataclasses.replace(base, **{args.toggle: on})
             rec = one(cfg, paths)
-            rec["draw"] = i
+            rec.update(draw=i, toggle=args.toggle, on=on)
             print(json.dumps(rec), flush=True)
 
 

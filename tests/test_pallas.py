@@ -377,6 +377,21 @@ def test_pallas_mg3_banded_exact_coarse(rng):
         / np.linalg.norm(x_ref)
     assert rel_c < 1e-3, (rel_c, int(stats_c.iterations))
 
+    # bf16 solve panels (mg_c1_bf16): a ~1e-2-accurate coarse solve is a
+    # valid fixed preconditioner — same answer to the same tolerance, and
+    # the weaker correction must not blow the iteration count up (<= 2x).
+    bf = PallasMG3Solver(pack, sys_vals, fdiag, c_vals, c_diag, a2,
+                         c1_band=band, c1_bf16=True)
+    assert bf.c1_dinv.dtype == jnp.bfloat16
+    assert bf.gb_per_iter < solver.gb_per_iter
+    xb, stats_b = bf.solve(rhs, tol=1e-6, max_iters=200, chunk=2)
+    rel_b = np.linalg.norm(np.asarray(xb, np.float64) - x_ref) \
+        / np.linalg.norm(x_ref)
+    assert rel_b < 1e-3, (rel_b, int(stats_b.iterations))
+    assert float(stats_b.rel_residual) < 1e-5
+    assert int(stats_b.iterations) <= 2 * int(stats.iterations), (
+        int(stats_b.iterations), int(stats.iterations))
+
 
 def test_pallas_mg3_multi_banded_exact(rng):
     """PallasMG3MultiSolver with the banded-exact c1 solve on a real vertex
