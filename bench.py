@@ -46,6 +46,25 @@ def _heartbeat(stage):
     _progress["stage"] = stage
 
 
+def _last_measured():
+    """Summary of the newest archived full bench artifact (bench_runs/) —
+    attached to failure records so a tunnel outage at bench time doesn't
+    erase the existence of a real measurement from the same round."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "bench_runs", "*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            d = json.load(f)
+        return {"artifact": os.path.basename(paths[-1]),
+                "value": d.get("value"), "unit": d.get("unit"),
+                "vs_baseline": d.get("vs_baseline")}
+    except Exception:
+        return None
+
+
 def _emit(results, note):
     rates = sorted(d["e2e_texels_per_sec"] for d in results)
     reference_texels_per_sec = 2048 * 2048 / 181.0
@@ -59,6 +78,9 @@ def _emit(results, note):
     else:
         value = 0.0
         detail = {"error": note}
+        last = _last_measured()
+        if last:
+            detail["last_measured"] = last
     print(json.dumps({
         "metric": "texels_per_sec_per_chip_2k_atlas",
         "value": round(value, 1), "unit": "texels/s",
@@ -167,10 +189,14 @@ def main():
 
     if not results:
         # Emit an honest failure record rather than no JSON line at all.
+        detail = {"error": error or "no draws completed"}
+        last = _last_measured()
+        if last:
+            detail["last_measured"] = last
         print(json.dumps({
             "metric": "texels_per_sec_per_chip_2k_atlas", "value": 0.0,
             "unit": "texels/s", "vs_baseline": 0.0,
-            "detail": {"error": error or "no draws completed"}}))
+            "detail": detail}))
         return
 
     rates = sorted(d["e2e_texels_per_sec"] for d in results)
