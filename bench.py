@@ -52,7 +52,8 @@ def _last_measured():
     erase the existence of a real measurement from the same round."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "bench_runs", "*.json")))
+    paths = sorted(glob.glob(os.path.join(here, "bench_runs", "*.json")),
+                   key=os.path.getmtime)
     if not paths:
         return None
     try:
@@ -189,14 +190,7 @@ def main():
 
     if not results:
         # Emit an honest failure record rather than no JSON line at all.
-        detail = {"error": error or "no draws completed"}
-        last = _last_measured()
-        if last:
-            detail["last_measured"] = last
-        print(json.dumps({
-            "metric": "texels_per_sec_per_chip_2k_atlas", "value": 0.0,
-            "unit": "texels/s", "vs_baseline": 0.0,
-            "detail": detail}))
+        _emit([], error or "no draws completed")
         return
 
     rates = sorted(d["e2e_texels_per_sec"] for d in results)

@@ -210,8 +210,11 @@ def _smooth_bnorm2(signals, b, subkey) -> float:
     entry = _SMOOTH_BNORM2.get(key)
     if entry is None or entry[0]() is not signals:
         val = float(jnp.max(jnp.einsum("nc,nc->c", b, b)))
-        if len(_SMOOTH_BNORM2) > 32:
-            _SMOOTH_BNORM2.clear()
+        while len(_SMOOTH_BNORM2) > 32:
+            # Evict oldest-first (insertion order) so the live problem's
+            # entries — the newest — survive (same policy as
+            # refine._PATTERN_CACHE).
+            _SMOOTH_BNORM2.pop(next(iter(_SMOOTH_BNORM2)))
         _SMOOTH_BNORM2[key] = (_weakref.ref(signals), val)
         entry = _SMOOTH_BNORM2[key]
     return entry[1]
@@ -462,14 +465,16 @@ def _advect_texture_step_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src
 
 
 @jax.jit
-def _halfway_lanes(src_t_sorted, src_p_sorted, alpha):
+def _halfway_lanes(src_t_sorted, src_p_sorted, t_back, t_fwd):
     """Both textures' march lanes (start states + per-lane flow times) in
-    one dispatch (was three eager concats per output call)."""
+    one dispatch (was three eager concats per output call). The two flow
+    times arrive precomputed in host f64 (t_fwd = 1 - alpha BEFORE the f32
+    cast) so their rounding matches the two-pass path bit for bit."""
     t2 = jnp.concatenate([src_t_sorted, src_t_sorted])
     p2 = jnp.concatenate([src_p_sorted, src_p_sorted])
     n = src_t_sorted.shape[0]
-    times = jnp.concatenate([jnp.full(n, -alpha, alpha.dtype),
-                             jnp.full(n, 1.0 - alpha, alpha.dtype)])
+    times = jnp.concatenate([jnp.full(n, t_back, t_back.dtype),
+                             jnp.full(n, t_fwd, t_back.dtype)])
     return t2, p2, times
 
 
@@ -1201,7 +1206,8 @@ class FlowProblem:
         self._ensure_advect_order()
         n = self._advect_src_t.shape[0]
         t2, p2, times = _halfway_lanes(self._advect_src_t, self._advect_src_p,
-                                       jnp.asarray(alpha, self.dtype))
+                                       jnp.asarray(-alpha, self.dtype),
+                                       jnp.asarray(1.0 - alpha, self.dtype))
         t1, p1, exhausted = flow_field_trace_compacted(
             self.arrays.tm, self.tfield, times, t2, p2,
             cfg.flow_min_step, cfg.flow_max_steps)

@@ -365,13 +365,9 @@ def _revalue(slots, ell_vals, sizes: tuple, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("sizes",))
-@functools.partial(jax.jit, static_argnames=("sizes",))
 def _revalue_pair(slots, ell_vals, sizes: tuple):
     """One scatter producing both the f32 and bf16 tile arrays (fusing the
-    cast saves a full extra pass over the tiles per level). Jitted: eager,
-    the zeros + scatter + per-bucket reshape/cast chain is ~10 separate
-    dispatches per call at ~50 ms dispatch latency on the tunneled runtime,
-    and solver construction calls this twice per level."""
+    cast saves a full extra pass over the tiles per level)."""
     total = sum(nr_b * k_b for nr_b, k_b in sizes) * 128 * 128
     flat = jnp.zeros((total,), jnp.float32)
     flat = flat.at[slots].add(ell_vals.ravel().astype(jnp.float32))
