@@ -167,7 +167,7 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
     # The coarse diagonal slot is static per mesh — computed once on host;
     # the per-level system + diagonal then assemble in ONE dispatch (the
     # eager add/mul/eq/argmax/take chain was ~6 per level).
-    slot0 = getattr(vcoarse, "diag_slot0", None)
+    slot0 = vcoarse.diag_slot0
     if slot0 is None:
         cols0_h = np.asarray(vcoarse.cols0)
         slot0 = jnp.asarray(np.argmax(

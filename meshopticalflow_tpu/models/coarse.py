@@ -202,6 +202,7 @@ class VertexCoarse:
     pallas_pack: object = None
     c1_band: object = None
     artifact_key: str = ""
+    diag_slot0: object = None  # (V0,) int32 diagonal slot of cols0 (static)
 
 
 def build_vertex_coarse(config, fine_mesh: HostMesh, coarse_mesh: HostMesh,
