@@ -24,7 +24,7 @@ timeout 3600 python scripts/exp_warm.py --pairs 2 \
 echo "[battery] exp_warm exit: $?"
 
 echo "[battery] 3/4 4K atlas draw (BASELINE.md pending row; ref=65,028 tex/s)"
-timeout 3600 env BENCH_ATLAS=4096 BENCH_DRAWS=2 python bench.py \
+timeout 3600 env BENCH_ATLAS=4096 BENCH_DRAWS=3 python bench.py \
     > "$out/battery_bench4k_$(stamp).json" 2> "$out/battery_bench4k_$(stamp).log"
 echo "[battery] 4K exit: $?"
 
