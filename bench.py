@@ -66,9 +66,30 @@ def _last_measured():
         return None
 
 
+# Reference binary end-to-end seconds measured on this machine's host CPU
+# (single core, g++ -O3 -ffast-math; BASELINE.md): 181 s at 2048^2,
+# 258 s at 4096^2 (the Cholesky levels are resolution-independent, so the
+# per-texel rate rises with atlas size). Unmeasured sizes fall back to the
+# 2K per-texel rate.
+_REFERENCE_SECONDS = {2048: 181.0, 4096: 258.0}
+
+
+def _reference_rate(size):
+    ref_s = _REFERENCE_SECONDS.get(size)
+    if ref_s is not None:
+        return size * size / ref_s
+    return 2048 * 2048 / 181.0
+
+
+def _metric_name():
+    size = int(os.environ.get("BENCH_ATLAS", "2048"))
+    return f"texels_per_sec_per_chip_{size // 1024}k_atlas"
+
+
 def _emit(results, note):
     rates = sorted(d["e2e_texels_per_sec"] for d in results)
-    reference_texels_per_sec = 2048 * 2048 / 181.0
+    size = int(os.environ.get("BENCH_ATLAS", "2048"))
+    reference_texels_per_sec = _reference_rate(size)
     if rates:
         value = statistics.median(rates)
         detail = {
@@ -83,8 +104,7 @@ def _emit(results, note):
         if last:
             detail["last_measured"] = last
     print(json.dumps({
-        "metric": "texels_per_sec_per_chip_2k_atlas",
-        "value": round(value, 1), "unit": "texels/s",
+        "metric": _metric_name(), "value": round(value, 1), "unit": "texels/s",
         "vs_baseline": round(value / reference_texels_per_sec, 4),
         "detail": detail}), flush=True)
 
@@ -195,12 +215,9 @@ def main():
 
     rates = sorted(d["e2e_texels_per_sec"] for d in results)
     value = statistics.median(rates)
-    # Baseline: the reference binary measured on this machine's host CPU
-    # (single core, g++ -O3 -ffast-math): 181 s end-to-end at 2048^2
-    # == 23,172 texels/s (BASELINE.md).
-    reference_texels_per_sec = 2048 * 2048 / 181.0
+    reference_texels_per_sec = _reference_rate(size)
     result = {
-        "metric": "texels_per_sec_per_chip_2k_atlas",
+        "metric": _metric_name(),
         "value": round(value, 1),
         "unit": "texels/s",
         "vs_baseline": round(value / reference_texels_per_sec, 4),
