@@ -78,6 +78,25 @@ def test_bench_watchdog_failure_record_when_no_draws(bench_mod, monkeypatch, cap
     assert "backend_init" in d["detail"]["error"]
 
 
+def test_bench_size_aware_baseline(bench_mod, monkeypatch, capsys):
+    """BENCH_ATLAS=4096 compares against the measured 4K reference rate
+    (258 s single-core) and labels the metric accordingly; unmeasured sizes
+    fall back to the 2K per-texel rate."""
+    monkeypatch.setenv("BENCH_COOLDOWN_S", "0")
+    monkeypatch.setenv("BENCH_DRAWS", "1")
+    monkeypatch.setenv("BENCH_ATLAS", "4096")
+    rate_4k = 4096 * 4096 / 258.0
+    monkeypatch.setattr(bench_mod, "one_draw",
+                        lambda paths, size, levels: _draw_stub(rate_4k))
+    # Avoid the PIL upsample of a real 4K texture pair in a unit test.
+    monkeypatch.setattr(bench_mod.os.path, "exists", lambda p: True)
+    bench_mod.main()
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["metric"] == "texels_per_sec_per_chip_4k_atlas"
+    assert d["vs_baseline"] == pytest.approx(1.0, abs=1e-3)
+    assert bench_mod._reference_rate(1024) == pytest.approx(2048 * 2048 / 181.0)
+
+
 def test_bench_zero_draws_failure_record(bench_mod, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_COOLDOWN_S", "0")
     monkeypatch.setenv("BENCH_DRAWS", "2")
