@@ -26,6 +26,17 @@ __version__ = "0.1.0"
 
 import jax as _jax
 
+# Make an explicit JAX_PLATFORMS env choice authoritative at import. The
+# axon TPU plugin registers itself ahead of the env-var selection, so a
+# library user running `JAX_PLATFORMS=cpu python script.py` can still
+# attach to the tunneled TPU — which hard-wedges whatever process owns the
+# device (memory: one TPU process at a time). The CLIs already call
+# honor_platform_env(); this covers library imports. No-op when the env
+# var is unset.
+from meshopticalflow_tpu.utils.compat import honor_platform_env as _honor
+
+_honor()
+
 # TPU matmul/einsum default precision demotes float32 operands to bfloat16
 # on the MXU (~3 significant digits). This framework's chart transforms,
 # data terms, and CG dot products are all small einsums where that is a
