@@ -6,6 +6,9 @@
 #
 #   bash scripts/onchip_battery.sh [outdir]
 #
+# Outer timeouts sit WELL above the worst measured throttled draw chain
+# (round-2 init alone hit 1100 s); bench.py's internal stall watchdog is
+# the real guard — an outer kill mid-draw would lose the JSON entirely.
 # Order is by value-per-minute: the headline bench first (the deliverable),
 # then the warm-start A/B, then the 4K row, then the bf16-c1 A/B.
 set -u
@@ -15,7 +18,7 @@ mkdir -p "$out"
 stamp() { date +%Y-%m-%dT%H%M; }
 
 echo "[battery] 1/5 headline 2K bench (median of 3 draws)"
-timeout 3600 python bench.py > "$out/battery_bench2k_$(stamp).json" 2> "$out/battery_bench2k_$(stamp).log"
+timeout 7200 python bench.py > "$out/battery_bench2k_$(stamp).json" 2> "$out/battery_bench2k_$(stamp).log"
 echo "[battery] bench exit: $?"
 
 echo "[battery] 2/5 warm-start A/B (2 interleaved pairs)"
@@ -24,7 +27,7 @@ timeout 3600 python scripts/exp_warm.py --pairs 2 \
 echo "[battery] exp_warm exit: $?"
 
 echo "[battery] 3/5 4K atlas draw (BASELINE.md pending row; ref=65,028 tex/s)"
-timeout 3600 env BENCH_ATLAS=4096 BENCH_DRAWS=3 python bench.py \
+timeout 7200 env BENCH_ATLAS=4096 BENCH_DRAWS=3 python bench.py \
     > "$out/battery_bench4k_$(stamp).json" 2> "$out/battery_bench4k_$(stamp).log"
 echo "[battery] 4K exit: $?"
 
