@@ -45,6 +45,31 @@ def test_golden_vertex_byte_exact(tmp_path):
         f"rmse {np.sqrt(((ours.astype(float) - ref) ** 2).mean()):.3f}")
 
 
+@pytest.mark.parametrize("flags,fixture,max_lvl", [
+    (["--vfMode", "1"], "ref_vertex_conformal.ply", 0),
+    (["--vfMode", "2"], "ref_vertex_connection.ply", 0),
+    (["--vfMode", "2", "--cMode", "1"], "ref_vertex_cmode1.ply", 0),
+    (["--vfMode", "2", "--cMode", "2"], "ref_vertex_cmode2.ply", 1),
+    (["--vfMode", "1", "--divFree"], "ref_vertex_divfree.ply", 1),
+])
+def test_golden_vertex_all_bases(tmp_path, flags, fixture, max_lvl):
+    """Every vector-field basis / connection mode / divFree reproduces the
+    reference binary on the sphere pair (fixtures generated 2026-08-18 from
+    /tmp/refOpticalFlow). cMode 2 and divFree land within one u8 color
+    level (rounding-boundary territory); the rest are byte-exact."""
+    from meshopticalflow_tpu.io.ply import read_triangle_mesh
+    out = str(tmp_path / "out.ply")
+    r = _run_cli(["--in", os.path.join(GOLD, "a.ply"), os.path.join(GOLD, "b.ply"),
+                  "--out", out, "--dtype", "float64"] + flags)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ours = read_triangle_mesh(out).colors.astype(int)
+    ref = read_triangle_mesh(os.path.join(GOLD, fixture)).colors.astype(int)
+    maxdiff = int(np.abs(ours - ref).max())
+    assert maxdiff <= max_lvl, (
+        f"{fixture} drifted: maxdiff {maxdiff}, "
+        f"rmse {np.sqrt(((ours - ref) ** 2).mean()):.3f}")
+
+
 def test_golden_texture_cube(tmp_path):
     """Texture mode on the closed-cube atlas matches the reference within
     rasterizer tie-break tolerance (RMSE 2.01 at creation; 6 seam texels)."""
