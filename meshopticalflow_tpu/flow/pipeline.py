@@ -1224,7 +1224,10 @@ class FlowProblem:
                            t1[n:], p1[n:], not cfg.nearest)
         q = _halfway_tail(c0, c1, self._advect_order, self.src_t,
                           self.textures[0], self.textures[1], h, w)
-        result = np.asarray(q)
+        # One u8 download; band-parallel when MESHFLOW_FETCH_PARTS > 1
+        # (set per deployment from the scripts/exp_fetch.py probe).
+        from meshopticalflow_tpu.utils.fetch import fetch as _fetch
+        result = _fetch(q)
         secs = time.time() - _t0
         self.last_advect_stats = {
             "seconds": round(secs, 2),
