@@ -26,6 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input textures (.ply pair or .png pair)")
     p.add_argument("--mesh", help="input geometry (.ply); switches to texture mode")
     p.add_argument("--out", help="output file (.ply or .png)")
+    add_alignment_flags(p)
+    return p
+
+
+def add_alignment_flags(p: argparse.ArgumentParser) -> None:
+    """The alignment/solver flag surface shared by the pairwise CLI and the
+    sequence-tracking CLI (OpticalFlow.cpp:56-109 defaults)."""
     p.add_argument("--vfMode", type=int, default=0,
                    help="vector field mode: 0 Whitney, 1 Conformal, 2 Connection")
     p.add_argument("--cMode", type=int, default=0,
@@ -60,7 +67,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32", help="device dtype (float32/float64)")
     p.add_argument("--hostSolve", action="store_true",
                    help="use the host scipy Cholesky oracle for the level solves")
-    return p
 
 
 def config_from_args(args) -> FlowConfig:

@@ -128,3 +128,41 @@ sys.exit(main([{args}, "--eigenVectors", "3", "--outPrefix", "{tmp_path}",
         import json as _json
         out[name] = _json.loads(r.stdout.strip().splitlines()[-1])["eigenvalues"]
     np.testing.assert_allclose(out["embed"], out["metric"], rtol=1e-6)
+
+
+def test_track_sequence_vertex_cli(vertex_pair, tmp_path):
+    """Three-frame per-vertex sequence: two pairs aligned over the shared
+    mesh, per-pair halfway PLYs + reference-format flow dumps + metrics,
+    composed-flow resampling of frame 0; pair 0 matches the single-pair CLI
+    byte-for-byte."""
+    tmp = vertex_pair
+    out = tmp_path / "seq"
+    common = '"--iterations", "2", "--dogWeight", "0", "--dtype", "float64"'
+    r = _run(f"""
+from meshopticalflow_tpu.apps.track_sequence import main
+sys.exit(main(["--in", "{tmp}/a.ply", "{tmp}/b.ply", "{tmp}/a.ply",
+               "--outDir", "{out}", "--composed", {common}]))
+""")
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    from meshopticalflow_tpu.io.binio import read_vector
+    lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert [l["pair"] for l in lines] == [0, 1]
+    for i in (0, 1):
+        assert (out / f"halfway_{i:03d}.ply").exists()
+        vf = read_vector(str(out / f"vectorField_{i:03d}.bin"), width=2)
+        assert vf.ndim == 2 and vf.shape[1] == 2 and np.isfinite(vf).all()
+    comp = read_triangle_mesh(str(out / "composed_resampled.ply"))
+    assert comp.colors is not None and np.isfinite(comp.colors).all()
+
+    # pair 0 == the single-pair CLI on the same inputs/flags
+    r2 = _run(f"""
+from meshopticalflow_tpu.apps.optical_flow import main
+sys.exit(main(["--in", "{tmp}/a.ply", "{tmp}/b.ply",
+               "--out", "{tmp_path}/single.ply", {common}]))
+""")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    a = read_triangle_mesh(str(out / "halfway_000.ply")).colors
+    b = read_triangle_mesh(str(tmp_path / "single.ply")).colors
+    np.testing.assert_array_equal(a, b)
