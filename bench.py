@@ -124,18 +124,24 @@ def _watchdog(stall_s):
             os._exit(0)
 
 
-def one_draw(paths, size, levels):
+def one_draw(paths, size, levels, draw=0):
     from meshopticalflow_tpu.config import FlowConfig
     from meshopticalflow_tpu.flow.pipeline import FlowProblem
 
     cfg = FlowConfig(levels=levels)
+    # Stage-level heartbeats so the stall watchdog distinguishes a
+    # throttled-but-alive draw (init alone has measured 469-1100 s under
+    # throttle) from a dead backend within one draw.
+    _heartbeat(f"draw {draw}: init")
     t0 = time.time()
     prob = FlowProblem.from_texture_inputs("/root/reference/Example/mesh.ply",
                                            tuple(paths), cfg)
     init_s = time.time() - t0
+    _heartbeat(f"draw {draw}: levels")
     t0 = time.time()
     res = prob.run(verbose=False)
     run_s = time.time() - t0
+    _heartbeat(f"draw {draw}: output")
     t0 = time.time()
     # The product output stage: advect both textures, blend on device,
     # download the uint8 halfway image once (what --out writes).
@@ -198,7 +204,7 @@ def main():
     for i in range(draws):
         _heartbeat(f"draw {i + 1}")
         try:
-            results.append(one_draw(paths, size, levels))
+            results.append(one_draw(paths, size, levels, draw=i + 1))
         except Exception as exc:   # e.g. the tunneled backend going away
             error = f"draw {i + 1}: {type(exc).__name__}: {exc}"
             print(f"[bench] {error}", file=sys.stderr, flush=True)

@@ -1,0 +1,104 @@
+"""Spectrum benchmark: our native Lanczos vs the scipy/ARPACK oracle.
+
+Times the lowest-k eigenpair computation of the Whitney vector-Laplacian
+(S x = lambda M x, the Spectrum app's workload, Spectrum.cpp:147-233) on
+the reference demo mesh, two ways:
+
+  * this framework's restarted deflated shift-invert Lanczos
+    (`solvers/lanczos.py`) on the CURRENT jax backend (TPU under the
+    battery; CPU when forced), exactly as `apps/spectrum.py` runs it;
+  * scipy `eigsh(sigma=...)` — the same Fortran ARPACK the reference binary
+    links, on the same host-assembled operators: the honest stand-in for
+    the reference Spectrum app (which needs the arpack DLL this mirror
+    ships only for Windows).
+
+Prints one JSON line per timing plus an eigenvalue-agreement line.
+
+    python scripts/bench_spectrum.py [--mesh PATH] [--k 20] [--reps 2]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default="/root/reference/Example/mesh.ply")
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from meshopticalflow_tpu.utils.compat import honor_platform_env
+    honor_platform_env()
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.io.ply import read_triangle_mesh
+    from meshopticalflow_tpu.models.base import build_basis
+    from meshopticalflow_tpu.ops.assemble import vector_field_mass_blocks
+    from meshopticalflow_tpu.solvers.lanczos import compute_spectrum
+
+    data = read_triangle_mesh(args.mesh)
+    mesh = build_mesh(data.faces, vertices=data.vertices)
+    host, basis = build_basis(mesh, FlowConfig(dtype="float32"))
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float32)
+    platform = jax.devices()[0].platform
+    print(json.dumps({"mesh": args.mesh, "triangles": mesh.n_triangles,
+                      "coeffs": int(basis.n_coeffs), "k": args.k,
+                      "platform": platform}), flush=True)
+
+    ours = None
+    for rep in range(args.reps):
+        t0 = time.time()
+        result = compute_spectrum(basis, mass, args.k,
+                                  host_stepped=(platform != "cpu"))
+        jax.block_until_ready(result.triangle_fields)
+        dt = time.time() - t0
+        ours = np.asarray(result.eigenvalues, np.float64)
+        print(json.dumps({"impl": "lanczos", "rep": rep,
+                          "seconds": round(dt, 2)}), flush=True)
+
+    # scipy/ARPACK oracle on the SAME host operators: M = P^T (g*area) P,
+    # exactly the reference's construction (VectorLaplacianSpectrum.inl:9-19).
+    t, kk = host.p_idx.shape
+    rows = np.repeat(np.arange(2 * t).reshape(t, 2), kk, axis=1).ravel()
+    cols = np.repeat(host.p_idx[:, None, :], 2, axis=1).ravel()
+    p = sp.coo_matrix((host.p_wt.ravel(), (rows, cols)),
+                      shape=(2 * t, host.n_coeffs)).tocsr()
+    blocks = (mesh.g * mesh.area[:, None, None]).reshape(t, 2, 2)
+    gr = (2 * np.repeat(np.arange(t), 4) +
+          np.tile([0, 0, 1, 1], t))
+    gc = (2 * np.repeat(np.arange(t), 4) + np.tile([0, 1, 0, 1], t))
+    g_mass = sp.coo_matrix((blocks.reshape(t, 4).ravel(), (gr, gc)),
+                           shape=(2 * t, 2 * t)).tocsr()
+    m_csr = (p.T @ g_mass @ p).tocsc().astype(np.float64)
+    s_csr = sp.csc_matrix(host.smooth).astype(np.float64)
+    ref = None
+    for rep in range(args.reps):
+        t0 = time.time()
+        v0 = np.random.default_rng(7).normal(size=s_csr.shape[0])
+        w, _ = spla.eigsh(s_csr, k=args.k, M=m_csr, sigma=1e-8, which="LM",
+                          v0=v0)
+        dt = time.time() - t0
+        ref = np.sort(w)
+        print(json.dumps({"impl": "scipy_arpack", "rep": rep,
+                          "seconds": round(dt, 2)}), flush=True)
+
+    rel = np.abs(np.sort(ours) - ref) / np.maximum(np.abs(ref), 1e-12)
+    print(json.dumps({"eig_rel_err_max": float(rel.max()),
+                      "eig_rel_err_med": float(np.median(rel))}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

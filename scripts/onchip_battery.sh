@@ -17,28 +17,33 @@ out="${1:-bench_runs}"
 mkdir -p "$out"
 stamp() { date +%Y-%m-%dT%H%M; }
 
-echo "[battery] 1/5 headline 2K bench (median of 3 draws)"
+echo "[battery] 1/6 headline 2K bench (median of 3 draws)"
 timeout 7200 python bench.py > "$out/battery_bench2k_$(stamp).json" 2> "$out/battery_bench2k_$(stamp).log"
 echo "[battery] bench exit: $?"
 
-echo "[battery] 2/5 warm-start A/B (2 interleaved pairs)"
+echo "[battery] 2/6 warm-start A/B (2 interleaved pairs)"
 timeout 3600 python scripts/exp_warm.py --pairs 2 \
     > "$out/battery_warmAB_$(stamp).jsonl" 2>&1
 echo "[battery] exp_warm exit: $?"
 
-echo "[battery] 3/5 4K atlas draw (BASELINE.md pending row; ref=65,028 tex/s)"
+echo "[battery] 3/6 4K atlas draw (BASELINE.md pending row; ref=65,028 tex/s)"
 timeout 7200 env BENCH_ATLAS=4096 BENCH_DRAWS=3 python bench.py \
     > "$out/battery_bench4k_$(stamp).json" 2> "$out/battery_bench4k_$(stamp).log"
 echo "[battery] 4K exit: $?"
 
-echo "[battery] 4/5 bf16 c1-band A/B (1 interleaved pair)"
+echo "[battery] 4/6 bf16 c1-band A/B (1 interleaved pair)"
 timeout 3600 python scripts/exp_warm.py --pairs 1 --toggle mg_c1_bf16 \
     > "$out/battery_c1bf16_$(stamp).jsonl" 2>&1
 echo "[battery] c1bf16 exit: $?"
 
-echo "[battery] 5/5 tunnel transfer parallelism probe (~2 min)"
+echo "[battery] 5/6 tunnel transfer parallelism probe (~2 min)"
 timeout 900 python scripts/exp_fetch.py \
     > "$out/battery_fetch_$(stamp).jsonl" 2>&1
 echo "[battery] fetch exit: $?"
+
+echo "[battery] 6/6 Spectrum bench (demo mesh, k=20, TPU Lanczos vs scipy/ARPACK)"
+timeout 3600 python scripts/bench_spectrum.py --reps 2 \
+    > "$out/battery_spectrum_$(stamp).jsonl" 2>&1
+echo "[battery] spectrum exit: $?"
 
 echo "[battery] done; artifacts in $out/"

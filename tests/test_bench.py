@@ -31,7 +31,7 @@ def test_bench_partial_protocol_on_backend_loss(bench_mod, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_DRAWS", "3")
     state = {"n": 0}
 
-    def fake_draw(paths, size, levels):
+    def fake_draw(paths, size, levels, draw=0):
         state["n"] += 1
         if state["n"] > 2:
             raise RuntimeError("backend gone")
@@ -87,7 +87,7 @@ def test_bench_size_aware_baseline(bench_mod, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_ATLAS", "4096")
     rate_4k = 4096 * 4096 / 258.0
     monkeypatch.setattr(bench_mod, "one_draw",
-                        lambda paths, size, levels: _draw_stub(rate_4k))
+                        lambda paths, size, levels, draw=0: _draw_stub(rate_4k))
     # Avoid the PIL upsample of a real 4K texture pair in a unit test.
     monkeypatch.setattr(bench_mod.os.path, "exists", lambda p: True)
     bench_mod.main()
@@ -101,7 +101,7 @@ def test_bench_zero_draws_failure_record(bench_mod, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_COOLDOWN_S", "0")
     monkeypatch.setenv("BENCH_DRAWS", "2")
 
-    def fake_draw(paths, size, levels):
+    def fake_draw(paths, size, levels, draw=0):
         raise RuntimeError("backend never came up")
 
     monkeypatch.setattr(bench_mod, "one_draw", fake_draw)
