@@ -585,6 +585,13 @@ class FlowProblem:
             self.init_profile[name] = round(time.time() - _t, 2)
             _t = time.time()
 
+        if (np.dtype(config.dtype) == np.float64
+                and not jax.config.read("jax_enable_x64")):
+            # A float64 problem without x64 would silently truncate every
+            # array to f32 (jnp warns once and proceeds). The test suite
+            # runs the f32 path WITH x64 enabled, so flipping it on here
+            # changes nothing for f32 configs.
+            jax.config.update("jax_enable_x64", True)
         dtype = jnp.dtype(config.dtype)
         self.dtype = dtype
         tm = make_trace_mesh(mesh, dtype)

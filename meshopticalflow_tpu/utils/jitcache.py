@@ -22,7 +22,13 @@ def enable_persistent_cache(path: str | None = None) -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERY compile, not just slow ones: small problems (the
+        # per-vertex demo: 1k verts, 54 jits all under 1 s each) pay ~9 s
+        # of cold XLA compiles that a 1.0-s threshold never persists;
+        # threshold 0 cuts the second process to ~2.5 s (the remainder is
+        # Python tracing, which is not cacheable). Disk cost is negligible.
+        min_secs = float(os.environ.get("MESHFLOW_JIT_CACHE_MIN_SECS", "0"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _ENABLED = True
     except Exception:
