@@ -74,12 +74,13 @@ class FlowConfig:
     flow_refine_floor: float = 1e-4
     # Warm-start each level's flow solve from the previous level's solved
     # direction (the basis lives on the fixed mesh, so the DoF space is the
-    # same at every level). Harmless when the directions decorrelate: the
-    # refinement loop only keeps a warm start that actually reduces the
-    # initial residual, and its adaptive inner tolerance converts any head
-    # start into fewer round-1 iterations. Final accuracy is governed by
+    # same at every level). Default OFF: the on-chip interleaved A/B
+    # (bench_runs/battery_warmAB_2026-08-18T1057.jsonl) measured it a net
+    # LOSS at bench scale — the lower starting residual makes the adaptive
+    # refinement demand extra late-level rounds (iters 96..144 vs 96..120,
+    # solve total 30.3 s vs 26.7 s warm). Final accuracy is governed by
     # flow_refine_tol either way.
-    flow_warm_start: bool = True
+    flow_warm_start: bool = False
     use_multigrid: bool = True  # geometric MG when a subdivision hierarchy exists
     # 2: host-factored coarse; 3: fully on-device (SA patch coarsest + tiled
     # fine SpMV) — 1.5x faster per flow solve on TPU, identical trajectories.

@@ -48,7 +48,9 @@ def test_golden_vertex_byte_exact(tmp_path):
 @pytest.mark.parametrize("flags,fixture,max_lvl", [
     (["--vfMode", "1"], "ref_vertex_conformal.ply", 0),
     (["--vfMode", "2"], "ref_vertex_connection.ply", 0),
-    (["--vfMode", "2", "--cMode", "1"], "ref_vertex_cmode1.ply", 0),
+    # cMode 1 sits on a u8 rounding boundary: byte-exact with a warm-started
+    # flow solve, one level off with the (faster, now default) cold start.
+    (["--vfMode", "2", "--cMode", "1"], "ref_vertex_cmode1.ply", 1),
     (["--vfMode", "2", "--cMode", "2"], "ref_vertex_cmode2.ply", 1),
     (["--vfMode", "1", "--divFree"], "ref_vertex_divfree.ply", 1),
 ])
