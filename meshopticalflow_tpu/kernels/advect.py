@@ -190,7 +190,7 @@ def _compact(state, times, bucket: int):
 @_ft.partial(jax.jit, static_argnames=("min_step", "steps"))
 def _trace_resume(tm, vfield, times, sub_state, min_step, steps):
     t_stub = sub_state["t"]
-    p_stub = sub_state["p"]
+    p_stub = jnp.stack([sub_state["px"], sub_state["py"]], -1)
     return _fft(tm, vfield, times, t_stub, p_stub, min_step, max_steps=steps,
                 init_state=sub_state, with_state=True)
 
@@ -198,7 +198,8 @@ def _trace_resume(tm, vfield, times, sub_state, min_step, steps):
 @jax.jit
 def _scatter_back(state, idx, sub):
     out = dict(state)
-    for k in ("t", "p", "v", "ft", "step_left", "in_edge", "active"):
+    for k in ("t", "px", "py", "vx", "vy", "ft", "step_left", "in_edge",
+              "active"):
         out[k] = state[k].at[idx].set(sub[k], mode="drop")
     return out
 
@@ -247,7 +248,8 @@ def flow_field_trace_compacted(tm, vfield, times, t0, p0, min_step,
         steps_done += steps
     valid = t0 >= 0
     final_t = jnp.where(valid, state["t"], t0)
-    final_p = jnp.where(valid[:, None], state["p"], p0)
+    state_p = jnp.stack([state["px"], state["py"]], -1)
+    final_p = jnp.where(valid[:, None], state_p, p0)
     exhausted = int(jnp.sum(state["active"].astype(jnp.int32)))
     return final_t.astype(jnp.int32), final_p, exhausted
 

@@ -194,13 +194,22 @@ def flow_field_trace(
     # Tie scalar-derived carries to the (possibly device-varying) lane inputs
     # so the while_loop carry is type-stable under shard_map.
     zero_like_lane = t_safe * 0
+    # The carry holds lane 2-vectors as SEPARATE flat columns (px/py, vx/vy)
+    # rather than (N, 2) arrays: under HBM pressure XLA:TPU's remat pass
+    # compresses long-live-range loop buffers and materializes the
+    # uncompressed copy in the DEFAULT rank-2 layout {1,0:T(8,128)}, padding
+    # the 2-wide minor dim to 128 — a 64x blowup that OOMed the 4K-atlas
+    # march (16 GB for a 256 MB value). Flat f32[N] columns tile as T(1024)
+    # with no padding, so no layout choice can inflate them. The body stacks
+    # them into (N, 2) locals (fused, never materialized across iterations)
+    # so the arithmetic is op-for-op identical to the (N, 2) carry.
     if init_state is not None:
         state = dict(init_state, count=jnp.asarray(0, jnp.int32))
     else:
         state = dict(
             t=t_safe,
-            p=p,
-            v=v0,
+            px=p[:, 0], py=p[:, 1],
+            vx=v0[:, 0], vy=v0[:, 1],
             ft=ft0 + p[:, 0] * 0,
             step_left=jnp.full(n, jnp.asarray(min_step, dtype)) + p[:, 0] * 0,
             in_edge=jnp.full(n, -1, jnp.int32) + zero_like_lane,
@@ -214,7 +223,9 @@ def flow_field_trace(
         return (s["count"] < max_steps) & jnp.any(s["active"])
 
     def body(s):
-        t, pp, v, ft = s["t"], s["p"], s["v"], s["ft"]
+        t, ft = s["t"], s["ft"]
+        pp = jnp.stack([s["px"], s["py"]], -1)
+        v = jnp.stack([s["vx"], s["vy"]], -1)
         active = s["active"] & (jnp.sum(v * v, -1) > 0)
         step, idx = _edge_exit(pp, v, s["in_edge"], eps)
         active &= idx >= 0
@@ -266,8 +277,10 @@ def flow_field_trace(
         keep = s["active"]
         return dict(
             t=jnp.where(keep, new_t, s["t"]),
-            p=jnp.where(keep[:, None], new_p, s["p"]),
-            v=jnp.where(keep[:, None], new_v, s["v"]),
+            px=jnp.where(keep, new_p[:, 0], s["px"]),
+            py=jnp.where(keep, new_p[:, 1], s["py"]),
+            vx=jnp.where(keep, new_v[:, 0], s["vx"]),
+            vy=jnp.where(keep, new_v[:, 1], s["vy"]),
             ft=jnp.where(keep, new_ft, s["ft"]),
             step_left=jnp.where(keep, new_step_left, s["step_left"]),
             in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
@@ -283,7 +296,8 @@ def flow_field_trace(
     if with_state:
         return out
     final_t = jnp.where(valid, out["t"], t_idx)
-    final_p = jnp.where(valid[:, None], out["p"], p)
+    out_p = jnp.stack([out["px"], out["py"]], -1)
+    final_p = jnp.where(valid[:, None], out_p, p)
     if with_diagnostics:
         exhausted = jnp.sum(out["active"].astype(jnp.int32))
         return final_t.astype(jnp.int32), final_p, exhausted
@@ -639,7 +653,10 @@ def exp_map(
     v = jnp.where(pre[:, None], jnp.einsum("nab,nb->na", lin, v), v)
     in_edge = jnp.where(pre, opp_e % 3, in_edge)
 
-    state = dict(t=t, p=p, v=v, in_edge=in_edge + t * 0, active=active,
+    # Flat-column carry for the same HBM-layout reason as flow_field_trace
+    # (the init-time exp-remap marches every texel lane: 33.5M at 4K).
+    state = dict(t=t, px=p[:, 0], py=p[:, 1], vx=v[:, 0], vy=v[:, 1],
+                 in_edge=in_edge + t * 0, active=active,
                  count=jnp.asarray(0, jnp.int32))
     fused = _fused_march_table(tm)
 
@@ -647,7 +664,9 @@ def exp_map(
         return (s["count"] < max_steps) & jnp.any(s["active"])
 
     def body(s):
-        t, pp, v = s["t"], s["p"], s["v"]
+        t = s["t"]
+        pp = jnp.stack([s["px"], s["py"]], -1)
+        v = jnp.stack([s["vx"], s["vy"]], -1)
         active = s["active"]
         step, idx = _edge_exit(pp, v, s["in_edge"], eps)
         active &= idx >= 0
@@ -672,8 +691,10 @@ def exp_map(
         keep = s["active"]
         return dict(
             t=jnp.where(keep, new_t, s["t"]),
-            p=jnp.where(keep[:, None], new_p, s["p"]),
-            v=jnp.where(keep[:, None], new_v, s["v"]),
+            px=jnp.where(keep, new_p[:, 0], s["px"]),
+            py=jnp.where(keep, new_p[:, 1], s["py"]),
+            vx=jnp.where(keep, new_v[:, 0], s["vx"]),
+            vy=jnp.where(keep, new_v[:, 1], s["vy"]),
             in_edge=jnp.where(keep, new_in_edge, s["in_edge"]),
             active=active & ~finish & (opp_e >= 0),
             count=s["count"] + 1,
@@ -685,7 +706,8 @@ def exp_map(
     # from the returned values (observed on CPU XLA with multi-loop graphs).
     out = lax.optimization_barrier(out)
     final_t = jnp.where(valid, out["t"], t_idx)
-    final_p = jnp.where(valid[:, None], out["p"], p)
+    out_p = jnp.stack([out["px"], out["py"]], -1)
+    final_p = jnp.where(valid[:, None], out_p, p)
     if with_diagnostics:
         exhausted = jnp.sum(out["active"].astype(jnp.int32))
         return final_t.astype(jnp.int32), final_p, exhausted
