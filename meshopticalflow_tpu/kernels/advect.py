@@ -12,6 +12,7 @@ Rebuilds:
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -206,7 +207,7 @@ def _scatter_back(state, idx, sub):
 
 def flow_field_trace_compacted(tm, vfield, times, t0, p0, min_step,
                                max_steps: int = 4096, phase_steps: int = 64,
-                               escalate: int = 16):
+                               escalate: int = 16, slab_max: int = 1 << 23):
     """flow_field_trace with between-phase compaction of active lanes.
 
     Returns (t1, p1, exhausted_count). Bit-identical to the plain loop —
@@ -217,8 +218,34 @@ def flow_field_trace_compacted(tm, vfield, times, t0, p0, min_step,
     proportional to the few survivors — with a total budget of
     ``escalate * max_steps`` steps, emulating the reference's effectively
     unbounded cap (1e6, FEM.inl:905) instead of freezing lanes mid-path.
-    """
+
+    ``slab_max`` bounds how many lanes march in ONE compiled while_loop.
+    Lanes are independent, so wider tables (the 4K atlas fuses 2 x 16.7M
+    lanes) split into equal slabs processed sequentially. This is a memory
+    guard, not a tuning knob: XLA:TPU's remat pass, under HBM pressure,
+    compresses a loop-spanning (N, 2) fusion and materializes the
+    uncompressed copy in the padded {1,0:T(8,128)} layout — 64x the value's
+    true size, 16 GB at 33.5M lanes (observed OOM). 8.4M lanes (the proven
+    2K fused width) keeps the whole march comfortably under pressure
+    thresholds. Override via MESHFLOW_TRACE_SLAB."""
     n = t0.shape[0]
+    slab_max = int(os.environ.get("MESHFLOW_TRACE_SLAB", slab_max))
+    if n > slab_max:
+        n_slabs = -(-n // slab_max)
+        slab = -(-n // n_slabs)
+        # align so at most 2 distinct shapes compile, but never exceed the
+        # guard itself (each chunk then takes the non-slab branch below)
+        slab = min(-(-slab // 1024) * 1024, slab_max)
+        ts, ps, exhausted = [], [], 0
+        for a in range(0, n, slab):
+            b = min(n, a + slab)
+            t_s, p_s, ex = flow_field_trace_compacted(
+                tm, vfield, times[a:b], t0[a:b], p0[a:b], min_step,
+                max_steps, phase_steps, escalate, slab_max)
+            ts.append(t_s)
+            ps.append(p_s)
+            exhausted += ex
+        return jnp.concatenate(ts), jnp.concatenate(ps), exhausted
     total_budget = max_steps * max(int(escalate), 1)
     state = _trace_phase1(tm, vfield, times, t0, p0, min_step, phase_steps)
     steps_done = phase_steps

@@ -255,6 +255,31 @@ def test_compacted_trace_equals_plain(flat):
     np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_ref), atol=0)
 
 
+def test_compacted_trace_slabbed_equals_plain(flat):
+    """Lane slabbing (the 4K-atlas HBM guard: bounded lanes per compiled
+    while_loop) is a pure partition of independent lanes — results must be
+    bit-identical to the unslabbed path, including a non-dividing slab."""
+    import numpy as np
+    from meshopticalflow_tpu.kernels.advect import flow_field_trace_compacted
+    tris, verts, mesh, tm = flat
+    t_count = tm.n_triangles
+    rng = np.random.default_rng(13)
+    vf = jnp.asarray(rng.normal(scale=0.25, size=(t_count, 2)))
+    n = 3 * t_count
+    t0 = jnp.asarray(rng.integers(0, t_count, n), jnp.int32)
+    p0 = jnp.asarray(rng.uniform(0.05, 0.4, (n, 2)))
+    times = jnp.asarray(rng.uniform(-0.6, 0.6, n))
+    t_ref, p_ref, ex_ref = flow_field_trace_compacted(
+        tm, vf, times, t0, p0, min_step=1e-2, max_steps=512, phase_steps=16)
+    # slab_max far below n AND below the 1024 alignment, forcing ceil paths
+    t_s, p_s, ex_s = flow_field_trace_compacted(
+        tm, vf, times, t0, p0, min_step=1e-2, max_steps=512, phase_steps=16,
+        slab_max=max(1, n // 3 - 7))
+    assert ex_s == ex_ref == 0
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_ref), atol=0)
+
+
 def test_compacted_trace_escalates_past_cap(flat):
     """VERDICT r2 next #9: lanes still marching at flow_max_steps keep going
     in compacted batches (reference cap is effectively unbounded,
