@@ -103,6 +103,8 @@ def main(argv=None) -> int:
     on_accelerator = _jax.devices()[0].platform != "cpu"
     result = compute_spectrum(basis, mass, args.eigenVectors,
                               host_stepped=on_accelerator)
+    if args.outPrefix:
+        os.makedirs(args.outPrefix, exist_ok=True)
     for i, field in enumerate(result.triangle_fields):
         path = os.path.join(args.outPrefix, f"eigenvector-{i + 1:03d}.bin") \
             if args.outPrefix else f"eigenvector-{i + 1:03d}.bin"

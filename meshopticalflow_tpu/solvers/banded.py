@@ -443,3 +443,67 @@ def ell_pcg_banded(cols, vals, solver: "BandedCholeskySolver", b,
     from meshopticalflow_tpu.solvers.cg import CGStats
     rel = float(np.sqrt(max(r2, 0.0) / b2))
     return x, CGStats(jnp.asarray(done, jnp.int32), jnp.asarray(rel, b.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "n"))
+def _bpcg_multi_chunk(cols, vals, dinv, pbelow, perm, inv_perm, x, r, z, p,
+                      rz, iters: int, n: int):
+    """``iters`` banded-preconditioned PCG steps on (n, c) block rhs —
+    per-column step lengths, shared preconditioner application."""
+    def matvec(v):
+        return jnp.einsum("nk,nkc->nc", vals, v[cols])
+
+    def coldot(u, v):
+        return jnp.sum(u * v, axis=0)
+
+    def body(_, s):
+        x, r, z, p, rz = s
+        ap = matvec(p)
+        pap = coldot(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * ap
+        z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
+        rz_new = coldot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta[None, :] * p
+        return (x, r, z, p, rz_new)
+
+    x, r, z, p, rz = lax.fori_loop(0, iters, body, (x, r, z, p, rz))
+    return x, r, z, p, rz, jnp.sum(r * r, axis=0)
+
+
+def ell_pcg_banded_multi(cols, vals, solver: "BandedCholeskySolver", b,
+                         tol: float = 1e-10, max_iters: int = 400,
+                         chunk: int = 16):
+    """Multi-rhs ``ell_pcg_banded``: solve A X = B for B (n, c) with one
+    banded-Cholesky-preconditioned PCG per column, stepped in bounded-size
+    device dispatches (a single fused while_loop over a near-singular
+    system can run past the tunneled TPU's dispatch watchdog and take the
+    worker down — the spectrum purification solve hit exactly that).
+
+    Columns converge jointly: the host loop stops when every column's
+    residual passes ``tol`` (converged columns take harmless extra steps).
+    """
+    import numpy as np
+
+    pat = solver.pat
+    b2 = np.asarray(jnp.sum(b * b, axis=0), np.float64)
+    if not b2.any():
+        return jnp.zeros_like(b), 0
+    x = jnp.zeros_like(b)
+    r = b
+    z = solver.solve(r).astype(b.dtype)
+    p = z
+    rz = jnp.sum(r * z, axis=0)
+    threshold = (tol ** 2) * np.where(b2 > 0, b2, 1.0)
+    done = 0
+    r2 = b2
+    while done < max_iters and (r2 > threshold).any():
+        iters = min(chunk, max_iters - done)
+        x, r, z, p, rz, r2_dev = _bpcg_multi_chunk(
+            cols, vals, solver.dinv, solver.pbelow, solver.perm,
+            solver.inv_perm, x, r, z, p, rz, iters, pat.n)
+        r2 = np.asarray(r2_dev, np.float64)
+        done += iters
+    return x, done

@@ -131,23 +131,17 @@ def _lanczos_host_step(basis: BasisDevice, mass_blocks, big_v, big_mv, defl_v,
     return big_v, big_mv, alpha, beta, v_next
 
 
-def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
-                  m: int, cg_tol: float, cg_max_iters: int,
-                  inner: str = "banded"):
-    """Host-stepped Lanczos: each iteration's inner solve runs as a bounded
-    sequence of device dispatches plus one jitted orthogonalization
-    dispatch (the fused fori_loop variant would exceed the tunneled TPU's
-    dispatch watchdog on real meshes).
+class ShiftInvertPack(NamedTuple):
+    """The shift-invert system S + sigma*M on the ELL layout plus (when the
+    factorization succeeds) a banded Cholesky preconditioner — built once
+    per sigma and shared by every restart AND the purification solve."""
+    sys_vals: jnp.ndarray
+    diag: jnp.ndarray
+    bsolver: object | None
 
-    ``inner="banded"`` (default) preconditions the shift-invert solves with
-    a banded Cholesky factorization built ONCE per restart — the TPU form
-    of the reference's amortized SimplicialLDLT (EigenvalueSolver.h:176-217);
-    each Lanczos step then costs ~10-30 PCG iterations instead of the
-    thousands Jacobi-PCG needs on the near-singular S + sigma*M."""
-    from meshopticalflow_tpu.solvers.cg import ell_pcg
 
-    n = basis.n_coeffs
-    dtype = basis.s_vals.dtype
+def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
+                       inner: str = "banded") -> ShiftInvertPack:
     # EXACT sigma*M on the ELL layout: M = P^T diag(g*area) P shares the
     # R D P sparsity that finalize_basis already unions into ell_cols, so
     # its entries assemble through the same dt_slots scatter
@@ -172,6 +166,30 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
             bsolver = BandedCholeskySolver(pat).factor(sys_vals)
         except RuntimeError:
             bsolver = None  # breakdown at every shift: Jacobi fallback
+    return ShiftInvertPack(sys_vals, diag, bsolver)
+
+
+def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
+                  m: int, cg_tol: float, cg_max_iters: int,
+                  inner: str = "banded",
+                  pack: ShiftInvertPack | None = None):
+    """Host-stepped Lanczos: each iteration's inner solve runs as a bounded
+    sequence of device dispatches plus one jitted orthogonalization
+    dispatch (the fused fori_loop variant would exceed the tunneled TPU's
+    dispatch watchdog on real meshes).
+
+    ``inner="banded"`` (default) preconditions the shift-invert solves with
+    a banded Cholesky factorization built ONCE per restart — the TPU form
+    of the reference's amortized SimplicialLDLT (EigenvalueSolver.h:176-217);
+    each Lanczos step then costs ~10-30 PCG iterations instead of the
+    thousands Jacobi-PCG needs on the near-singular S + sigma*M."""
+    from meshopticalflow_tpu.solvers.cg import ell_pcg
+
+    n = basis.n_coeffs
+    dtype = basis.s_vals.dtype
+    if pack is None:
+        pack = _shift_invert_pack(basis, mass_blocks, sigma, inner)
+    sys_vals, diag, bsolver = pack
 
     def inner_solve(bb):
         if bsolver is not None:
@@ -236,6 +254,12 @@ def compute_spectrum(
         return (ell_matvec(basis.ell_cols, basis.s_vals, x)
                 + sig * _mass_matvec_multi(basis, mass_blocks, x))
 
+    # Host-stepped runs (the accelerator path) build the shift-invert
+    # system + banded preconditioner ONCE and share it across restarts and
+    # the purification solve; the fused path keeps everything in-jit.
+    pack = (_shift_invert_pack(basis, mass_blocks, float(sigma))
+            if host_stepped else None)
+
     accepted_lams: list = []
     accepted: list = []      # M-normalized eigenvectors (np.float64)
     accepted_m: list = []    # M times those vectors
@@ -247,7 +271,16 @@ def compute_spectrum(
     max_restarts = max_restarts if max_restarts is not None else 2 * k + 4
     stagnant = 0
     near_miss = None     # best rejected candidate; seeds the next restart
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _dbg = bool(_os.environ.get("MESHFLOW_SPECTRUM_DEBUG"))
+    _t_start = _time.time()
     for _restart in range(max_restarts):
+        if _dbg:
+            print(f"[spectrum] restart {_restart} accepted={len(accepted)} "
+                  f"t={_time.time() - _t_start:.1f}s", file=_sys.stderr,
+                  flush=True)
         # Fixed-shape deflation block (compile once); grows in steps of 8
         # when acceptance overshoots k (degenerate clusters straddling the
         # cut can accept past k).
@@ -269,10 +302,15 @@ def compute_spectrum(
             near_miss = None
         else:
             v0 = jnp.asarray(rng.normal(size=n), dtype)
-        lanczos_fn = _lanczos_host if host_stepped else _lanczos
-        big_v, alphas, betas = lanczos_fn(
-            basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
-            jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters)
+        if host_stepped:
+            big_v, alphas, betas = _lanczos_host(
+                basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
+                jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters,
+                pack=pack)
+        else:
+            big_v, alphas, betas = _lanczos(
+                basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
+                jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters)
         alphas = np.asarray(alphas, np.float64)
         betas = np.asarray(betas, np.float64)
         cut = m
@@ -304,7 +342,17 @@ def compute_spectrum(
         usable = np.abs(theta_sorted[:take]) > 1e-30
         cand_t = jnp.asarray(cand[:take].T, dtype)
         b = _mass_matvec_multi(basis, mass_blocks, cand_t)
-        pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol, max_iters=cg_max_iters)
+        if pack is not None and pack.bsolver is not None:
+            # Host-chunked multi-rhs banded PCG: a single fused while_loop
+            # over the near-singular S + sigma*M ran past the tunneled
+            # TPU's dispatch watchdog and crashed the worker.
+            from meshopticalflow_tpu.solvers.banded import ell_pcg_banded_multi
+            pure, _ = ell_pcg_banded_multi(
+                basis.ell_cols, pack.sys_vals, pack.bsolver, b,
+                tol=cg_tol, max_iters=min(cg_max_iters, 400))
+        else:
+            pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol,
+                                max_iters=cg_max_iters)
         pure = np.asarray(pure, np.float64) / theta_sorted[:take][None, :]
         # Rayleigh-Ritz on the purified block: near-converged Ritz pairs in
         # degenerate clusters arrive as mixtures at ~1e-3 residual; solving

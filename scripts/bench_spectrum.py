@@ -58,6 +58,14 @@ def main():
                       "coeffs": int(basis.n_coeffs), "k": args.k,
                       "platform": platform}), flush=True)
 
+    # Priming fetch: the first device-to-host transfer of a process can
+    # wedge 0-25 min on the tunneled TPU (memory/axon-tpu-quirks.md);
+    # absorb and report it here so the timing loops below stay honest.
+    t0 = time.time()
+    float(jnp.sum(mass[:1]))
+    print(json.dumps({"priming_fetch_s": round(time.time() - t0, 2)}),
+          flush=True)
+
     ours = None
     for rep in range(args.reps):
         t0 = time.time()

@@ -160,3 +160,27 @@ def test_banded_on_real_coarse_flow_system():
     # small enough that 2-3 refinement rounds reach 1e-11.
     assert num / den < 1e-3
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-2
+
+
+def test_ell_pcg_banded_multi_matches_scipy():
+    # The spectrum purification solve: multi-rhs banded-preconditioned PCG
+    # in bounded host-stepped chunks (solvers/banded.py:ell_pcg_banded_multi).
+    from meshopticalflow_tpu.solvers.banded import ell_pcg_banded_multi
+
+    rng = np.random.default_rng(7)
+    n, c = 800, 6
+    a = _mesh_like_spd(n, rng)
+    cols, vals = _to_ell(a)
+    pat = build_band_pattern(cols, nb=64)
+    vals32 = jnp.asarray(vals, jnp.float32)
+    solver = BandedCholeskySolver(pat).factor(vals32)
+    b = rng.normal(size=(n, c)).astype(np.float32)
+    b[:, -1] = 0.0  # a zero column must come back zero, not NaN
+    x, iters = ell_pcg_banded_multi(jnp.asarray(cols), vals32, solver,
+                                    jnp.asarray(b), tol=1e-7, chunk=8)
+    x = np.asarray(x, np.float64)
+    assert iters <= 64
+    for k in range(c - 1):
+        x_ref = spla.spsolve(a.tocsc(), b[:, k].astype(np.float64))
+        assert np.linalg.norm(x[:, k] - x_ref) / np.linalg.norm(x_ref) < 1e-4
+    assert np.all(x[:, -1] == 0.0)
