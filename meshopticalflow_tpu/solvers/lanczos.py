@@ -246,7 +246,47 @@ def compute_spectrum(
     dtype = basis.s_vals.dtype
     m = max_lanczos or min(n, max(3 * k + 20, 50))
     rng = np.random.default_rng(seed)
-    sig = jnp.asarray(sigma, dtype)
+
+    # Host f64 copies of S and M for candidate ACCEPTANCE and the
+    # Rayleigh-Ritz projection. Measuring residuals with device-dtype
+    # matvecs hides the true vector quality behind the matvec's own
+    # rounding: on the reference demo mesh (||S|| ~ 1e7, lambda ~ 12) the
+    # f32 floor of ||Sx - lam*Mx|| / (||Sx|| + lam||Mx||) is ~5e-4 — above
+    # any sane threshold — so nothing was ever accepted in float32.
+    import scipy.sparse as _sp
+    ell_cols_h = np.asarray(basis.ell_cols)
+    s_vals_h = np.asarray(basis.s_vals, np.float64)
+    nh, wh = ell_cols_h.shape
+    _s64 = _sp.csr_matrix(
+        (s_vals_h.ravel(), (np.repeat(np.arange(nh), wh), ell_cols_h.ravel())),
+        shape=(nh, nh))
+    _s_norm = float(np.abs(_s64).sum(axis=1).max())  # matrix inf-norm
+    p_idx_h = np.asarray(basis.p_idx)
+    p_wt_h = np.asarray(basis.p_wt, np.float64)
+    mass_h = np.asarray(mass_blocks, np.float64)
+    _t = p_idx_h.shape[0]
+    _kh = p_idx_h.shape[1]
+    _prows = np.repeat(np.arange(2 * _t).reshape(_t, 2), _kh, axis=1).ravel()
+    _pcols = np.repeat(p_idx_h[:, None, :], 2, axis=1).ravel()
+    _p64 = _sp.coo_matrix((p_wt_h.ravel(), (_prows, _pcols)),
+                          shape=(2 * _t, nh)).tocsr()
+    _g64 = _sp.bsr_matrix((mass_h, np.arange(_t), np.arange(_t + 1)),
+                          shape=(2 * _t, 2 * _t))
+    _m64 = (_p64.T @ (_g64 @ _p64)).tocsr()
+    _m_norm = float(np.abs(_m64).sum(axis=1).max())
+    _eps_dtype = float(jnp.finfo(jnp.dtype(dtype)).eps)
+
+    # The shift must REGISTER in the compute dtype: sigma*M regularizes
+    # S only if sigma*||M|| clears the rounding scale eps*||S||. The
+    # reference's -1e-8 (EigenvalueSolver.h:176) is exactly this scale for
+    # f64 on its demo mesh (4*eps64*||S||/||M|| ~ 2e-9); in f32 an
+    # absolute 1e-8 underflows against S and the inner systems stay
+    # numerically singular. Raising sigma is harmless for the spectrum
+    # itself — eigenvalues are re-derived as Rayleigh quotients of S, M —
+    # but it must stay well below lambda_1 to preserve shift-invert's
+    # preference for the low end, so the constant is kept small.
+    sigma_eff = max(float(sigma), 4.0 * _eps_dtype * _s_norm / max(_m_norm, 1e-300))
+    sig = jnp.asarray(sigma_eff, dtype)
     s_diag = jnp.take_along_axis(basis.s_vals, basis.diag_slot[:, None], axis=1)[:, 0]
     adiag = s_diag + sig * _mass_diag(basis, mass_blocks)
 
@@ -257,8 +297,22 @@ def compute_spectrum(
     # Host-stepped runs (the accelerator path) build the shift-invert
     # system + banded preconditioner ONCE and share it across restarts and
     # the purification solve; the fused path keeps everything in-jit.
-    pack = (_shift_invert_pack(basis, mass_blocks, float(sigma))
+    pack = (_shift_invert_pack(basis, mass_blocks, sigma_eff)
             if host_stepped else None)
+
+    # Acceptance uses the relative residual with a dtype-eps ABSOLUTE
+    # allowance subtracted from the numerator (see the acceptance loop):
+    # without it the criterion can NEVER accept a nullspace pair (lam = 0
+    # makes it exactly 1 in any arithmetic — and the reference demo mesh
+    # carries two harmonic fields), and in float32 the vector-error floor
+    # sits above any sane threshold. The constant is dtype-tiered because
+    # the achievable ||S x_harmonic|| is NOT proportional to eps (it
+    # carries the iterative solver's accumulation): measured, f64 Lanczos
+    # harmonics land at ~7e4*eps64*||S|| and f32-rounded true vectors at
+    # ~2e-3*eps32*||S||, while random vectors sit at ~8e-2*||S|| and
+    # 1%-wrong vectors at ~1e-3*||S|| in either dtype — both floors keep
+    # >60x rejection margin.
+    _res_floor = (1e4 if _eps_dtype > 1e-10 else 1e6) * _eps_dtype * _s_norm
 
     accepted_lams: list = []
     accepted: list = []      # M-normalized eigenvectors (np.float64)
@@ -270,6 +324,7 @@ def compute_spectrum(
     # with no new pair) ends the search early.
     max_restarts = max_restarts if max_restarts is not None else 2 * k + 4
     stagnant = 0
+    _sigma_bumps = 0
     near_miss = None     # best rejected candidate; seeds the next restart
     import os as _os
     import sys as _sys
@@ -323,14 +378,32 @@ def compute_spectrum(
         tiny = np.nonzero(betas[:max(cut - 1, 0)] < 1e-14)[0]
         if len(tiny):
             cut = min(cut, int(tiny[0]) + 1)
+        # Truncate at coefficient EXPLOSION: with a semi-definite M (the
+        # Whitney pull-back mass has a nullspace on structured meshes) the
+        # M-semi-inner-product recurrence can blow up once the Krylov
+        # space nears exhaustion — observed on a torus grid: alphas/betas
+        # grow exponentially to ~1e145 within 200 of 288 steps. The
+        # pre-explosion prefix is a valid Lanczos run (Nour-Omid et al.'s
+        # spectral-transformation analysis; the reference sidesteps it by
+        # never running ARPACK anywhere near full subspace size).
+        scale0 = float(np.median(np.abs(alphas[:min(8, cut)]))) + 1e-300
+        grow = np.nonzero((np.abs(alphas[:cut]) > 1e8 * scale0)
+                          | (betas[:cut] > 1e8 * scale0))[0]
+        if len(grow):
+            cut = min(cut, max(int(grow[0]), 1))
         t_mat = np.diag(alphas[:cut])
         if cut > 1:
             t_mat += np.diag(betas[:cut - 1], 1) + np.diag(betas[:cut - 1], -1)
         theta, y = np.linalg.eigh(t_mat)
+        if _dbg:
+            print(f"[spectrum]   cut={cut}/{m} theta_range="
+                  f"[{theta.min():.3g},{theta.max():.3g}] "
+                  f"beta_last={betas[max(cut - 1, 0)]:.3g}",
+                  file=_sys.stderr, flush=True)
         order = np.argsort(theta)[::-1]
         theta_sorted = theta[order]
         with np.errstate(divide="ignore"):
-            lams_all = 1.0 / np.where(np.abs(theta_sorted) > 1e-300, theta_sorted, 1e-300) - float(sigma)
+            lams_all = 1.0 / np.where(np.abs(theta_sorted) > 1e-300, theta_sorted, 1e-300) - sigma_eff
         v_mat = np.asarray(big_v[:cut], np.float64).T
         cand = (v_mat @ y[:, order]).T
 
@@ -340,7 +413,17 @@ def compute_spectrum(
         # (S + sigma M)^{-1} M / theta annihilates them. Batched multi-rhs CG.
         take = min(cut, 2 * k + 10)
         usable = np.abs(theta_sorted[:take]) > 1e-30
-        cand_t = jnp.asarray(cand[:take].T, dtype)
+        cand = cand[:take]
+        if accepted:
+            # M-deflate accepted pairs from the block BEFORE the solve: the
+            # shift-invert purification amplifies any residual component of
+            # an accepted SMALL eigenvalue by (lam + sigma)/(lam_acc + sigma)
+            # — for a harmonic (lam_acc ~ 0) that is ~lam/sigma ~ 1e9, enough
+            # to bury every later candidate under recycled nullspace.
+            _u = np.stack(accepted)
+            _mu = np.stack(accepted_m)
+            cand = cand - (cand @ _mu.T) @ _u
+        cand_t = jnp.asarray(cand.T, dtype)
         b = _mass_matvec_multi(basis, mass_blocks, cand_t)
         if pack is not None and pack.bsolver is not None:
             # Host-chunked multi-rhs banded PCG: a single fused while_loop
@@ -357,11 +440,11 @@ def compute_spectrum(
         # Rayleigh-Ritz on the purified block: near-converged Ritz pairs in
         # degenerate clusters arrive as mixtures at ~1e-3 residual; solving
         # the projected generalized eigenproblem unmixes them exactly within
-        # the block's span.
-        import scipy.linalg as _sla
-        pj = jnp.asarray(pure, dtype)
-        sb = np.asarray(ell_matvec(basis.ell_cols, basis.s_vals, pj), np.float64)
-        mb = np.asarray(_mass_matvec_multi(basis, mass_blocks, pj), np.float64)
+        # the block's span. Host f64 operators — the device-dtype floor
+        # would poison the projected matrices the same way it poisoned
+        # acceptance.
+        sb = _s64 @ pure
+        mb = _m64 @ pure
         hs = pure.T @ sb
         hm = pure.T @ mb
         hs = (hs + hs.T) / 2
@@ -381,6 +464,7 @@ def compute_spectrum(
         # (ARPACK purges spurious pairs the same way). Accept a little past
         # k so degenerate clusters straddling the cut are caught.
         new_found = 0
+        _rq_pos: list = []   # Rayleigh quotients of M-normalizable candidates
         for i in range(take):
             if not usable[i]:
                 continue
@@ -394,20 +478,23 @@ def compute_spectrum(
             c = pure[:, i]
             for u, mu in zip(accepted, accepted_m):
                 c = c - (mu @ c) * u
-            cj = jnp.asarray(c, dtype)
-            sx = np.asarray(ell_matvec(basis.ell_cols, basis.s_vals, cj), np.float64)
-            mx = np.asarray(_mass_matvec(basis, mass_blocks, cj), np.float64)
+            sx = _s64 @ c
+            mx = _m64 @ c
             mnorm = np.sqrt(abs(c @ mx))
             if mnorm < 1e-8:
                 continue
             # Rayleigh quotient of the polished vector (the raw Ritz value
             # drifts during inverse-iteration polishing).
             lam = (c @ sx) / (c @ mx)
-            denom = np.linalg.norm(sx) + abs(lam) * np.linalg.norm(mx) + 1e-300
-            import os as _os
-            if _os.environ.get("MESHFLOW_SPECTRUM_DEBUG"):
-                print(f"  cand lam={lam:.6g} res={np.linalg.norm(sx - lam * mx) / denom:.2e} mnorm={mnorm:.2e}")
-            res_rel = np.linalg.norm(sx - lam * mx) / denom
+            if np.isfinite(lam) and lam > 50 * sigma_eff:
+                _rq_pos.append(float(lam))
+            _num = np.linalg.norm(sx - lam * mx)
+            _num = max(_num - _res_floor * np.linalg.norm(c), 0.0)
+            res_rel = _num / (np.linalg.norm(sx)
+                              + abs(lam) * np.linalg.norm(mx) + 1e-300)
+            if _dbg:
+                print(f"  cand lam={lam:.6g} res={res_rel:.2e} "
+                      f"mnorm={mnorm:.2e}", file=_sys.stderr, flush=True)
             # Staged acceptance: 1e-4 while the restart budget lasts; in the
             # final quarter accept 1e-3 (slow clusters improve ~linearly per
             # seeded restart; ARPACK's own default is far looser than 1e-4).
@@ -429,6 +516,30 @@ def compute_spectrum(
             kth = np.sort(np.array(accepted_lams))[k - 1]
             if _restart >= 1 and new_found and min(accepted_lams[-new_found:]) > kth * (1 + 1e-6):
                 break
+        # Adaptive shift escalation: on a kernel-bearing surface (genus > 0)
+        # a tiny sigma spreads op = (S + sigma M)^{-1} M over lam_1/sigma
+        # decades — Ritz vectors of the NON-kernel pairs then carry
+        # eps-scale harmonic residue that purification re-amplifies by
+        # lam/sigma, and nothing past the kernel ever converges. Once the
+        # spectrum's low end is visible, raise sigma to ~0.1 * lam_min>0
+        # (the regime the f32 demo-mesh run converges in, one restart) and
+        # refactor. Eigenvalues do not depend on sigma — they are
+        # re-derived as Rayleigh quotients of S, M.
+        _finite_pos = _rq_pos + [float(l) for l in accepted_lams
+                                 if l > 50 * sigma_eff]
+        if (len(accepted) < k and _finite_pos and _sigma_bumps < 3
+                and sigma_eff < 0.02 * min(_finite_pos)):
+            sigma_eff = 0.1 * min(_finite_pos)
+            _sigma_bumps += 1
+            stagnant = 0   # the refactored operator is a fresh start
+            if _dbg:
+                print(f"[spectrum] sigma escalated to {sigma_eff:.3g}",
+                      file=_sys.stderr, flush=True)
+            sig = jnp.asarray(sigma_eff, dtype)
+            adiag = s_diag + sig * _mass_diag(basis, mass_blocks)
+            if host_stepped:
+                pack = _shift_invert_pack(basis, mass_blocks, sigma_eff)
+            continue
         # A pending near-miss seed is progress (the next restart
         # refines it), even when nothing was accepted this round.
         stagnant = stagnant + 1 if (new_found == 0 and near_miss is None) else 0

@@ -103,9 +103,22 @@ def main():
         print(json.dumps({"impl": "scipy_arpack", "rep": rep,
                           "seconds": round(dt, 2)}), flush=True)
 
-    rel = np.abs(np.sort(ours) - ref) / np.maximum(np.abs(ref), 1e-12)
-    print(json.dumps({"eig_rel_err_max": float(rel.max()),
-                      "eig_rel_err_med": float(np.median(rel))}), flush=True)
+    # Scale-aware agreement: near-zero (harmonic) pairs are only defined to
+    # ~eps_dtype * spectrum scale (f32-STORED copies of these operators
+    # shift the demo mesh's harmonic eigenvalues to +-9.5e-4), so they are
+    # reported as absolute errors in spectrum units, the rest relatively.
+    ours_s = np.sort(ours)
+    scale = np.abs(ref).max()
+    wellpos = np.abs(ref) > 1e-4 * scale
+    rel = np.abs(ours_s[wellpos] - ref[wellpos]) / np.abs(ref[wellpos])
+    nz = ~wellpos
+    print(json.dumps({
+        "eig_rel_err_max": float(rel.max()),
+        "eig_rel_err_med": float(np.median(rel)),
+        "near_zero_pairs": int(nz.sum()),
+        "near_zero_abs_err_over_scale": float(
+            np.abs(ours_s[nz] - ref[nz]).max() / scale) if nz.any() else 0.0,
+    }), flush=True)
 
 
 if __name__ == "__main__":

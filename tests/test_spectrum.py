@@ -114,3 +114,62 @@ def test_host_stepped_lanczos_exact_shift_large_sigma():
     ref_lams, _ = _dense_reference_spectrum(host, mesh, 4)
     np.testing.assert_allclose(stepped.eigenvalues, ref_lams,
                                rtol=1e-5, atol=1e-8)
+
+
+def _make_torus_mesh(nu=12, nv=8, r_major=1.0, r_minor=0.35):
+    u = 2 * np.pi * np.arange(nu) / nu
+    v = 2 * np.pi * np.arange(nv) / nv
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    verts = np.stack([
+        (r_major + r_minor * np.cos(vv)) * np.cos(uu),
+        (r_major + r_minor * np.cos(vv)) * np.sin(uu),
+        r_minor * np.sin(vv)], axis=-1).reshape(-1, 3)
+    tris = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            tris.append([a, b, c])
+            tris.append([a, c, d])
+    return np.asarray(tris, np.int32), verts
+
+
+def test_spectrum_accepts_harmonic_nullspace_on_torus():
+    """Genus-1 surface: the Whitney Laplacian has a 2-dim harmonic
+    nullspace (the reference demo mesh carries one too). A pure relative
+    residual can never accept a lambda ~ 0 pair — the acceptance floor
+    (solvers/lanczos.py) exists exactly for this."""
+    tris, verts = _make_torus_mesh()
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    k = 6
+    result = compute_spectrum(basis, mass, k, cg_tol=1e-12,
+                              max_lanczos=host.n_coeffs)
+    ref_lams, _ = _dense_reference_spectrum(host, mesh, k)
+    scale = abs(ref_lams[-1])
+    assert abs(ref_lams[0]) < 1e-8 * scale and abs(ref_lams[1]) < 1e-8 * scale, \
+        "torus should have a 2-dim harmonic nullspace"
+    # Harmonics to absolute spectrum-scale accuracy; the rest relative.
+    np.testing.assert_allclose(result.eigenvalues[:2], ref_lams[:2],
+                               atol=1e-7 * scale)
+    np.testing.assert_allclose(result.eigenvalues[2:], ref_lams[2:],
+                               rtol=1e-5)
+
+
+def test_spectrum_float32_acceptance_floor():
+    """float32 end-to-end (the TPU bench regime): without the dtype-eps
+    acceptance floor the f32 residual floor rejects every candidate."""
+    tris, verts = make_sphere_mesh(2)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float32")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float32)
+    k = 6
+    result = compute_spectrum(basis, mass, k, cg_tol=1e-7,
+                              max_lanczos=min(host.n_coeffs, 400))
+    ref_lams, _ = _dense_reference_spectrum(host, mesh, k)
+    np.testing.assert_allclose(result.eigenvalues, ref_lams, rtol=2e-3)
