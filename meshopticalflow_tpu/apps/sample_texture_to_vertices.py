@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     from meshopticalflow_tpu.utils.compat import honor_platform_env
     honor_platform_env()
+    from meshopticalflow_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     from meshopticalflow_tpu.flow.pipeline import sample_texture_to_vertices
     from meshopticalflow_tpu.geometry.subdivide import subdivide_textured_mesh

@@ -131,6 +131,44 @@ def _lanczos_host_step(basis: BasisDevice, mass_blocks, big_v, big_mv, defl_v,
     return big_v, big_mv, alpha, beta, v_next
 
 
+@functools.partial(jax.jit, static_argnames=("inner_iters", "n"))
+def _lanczos_banded_step(basis: BasisDevice, mass_blocks, sys_vals, dinv,
+                         pbelow, perm, inv_perm, big_v, big_mv, alphas,
+                         betas, defl_v, defl_mv, v, beta_prev, v_prev, j,
+                         inner_iters: int, n: int):
+    """One COMPLETE host-stepped Lanczos iteration as a single dispatch:
+    mass matvec + fixed-iteration banded-preconditioned PCG inner solve +
+    full M-reorthogonalization, with alphas/betas accumulated ON DEVICE.
+
+    The per-step convergence bookkeeping of the chunked inner solver costs
+    ~5 device-to-host fetches per Lanczos step; at the tunneled TPU's
+    0.1-0.3 s per fetch that was ~80% of the spectrum solve's wall clock.
+    With the dtype-registering shift the banded-PCG reaches ~1e-9 within
+    ~30 iterations, so a fixed trip count loses nothing the f64 host
+    acceptance (which measures final candidate quality independently)
+    would keep."""
+    from meshopticalflow_tpu.solvers.banded import _bpcg_chunk, band_solve_panels
+
+    mv = _mass_matvec(basis, mass_blocks, v)
+    r = mv
+    z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
+    w_raw, *_ = _bpcg_chunk(basis.ell_cols, sys_vals, dinv, pbelow, perm,
+                            inv_perm, jnp.zeros_like(r), r, z, z,
+                            jnp.vdot(r, z), inner_iters, n)
+    big_v = big_v.at[j].set(v)
+    big_mv = big_mv.at[j].set(mv)
+    alpha = jnp.vdot(w_raw, mv)
+    w = w_raw - alpha * v - beta_prev * v_prev
+    for _ in range(2):
+        w = w - big_v.T @ (big_mv @ w)
+        w = w - defl_v.T @ (defl_mv @ w)
+    beta = jnp.sqrt(jnp.maximum(jnp.vdot(w, _mass_matvec(basis, mass_blocks, w)), 0.0))
+    v_next = w / jnp.where(beta > 1e-30, beta, 1.0)
+    alphas = alphas.at[j].set(alpha)
+    betas = betas.at[j].set(beta)
+    return big_v, big_mv, alphas, betas, v_next, beta, v
+
+
 class ShiftInvertPack(NamedTuple):
     """The shift-invert system S + sigma*M on the ELL layout plus (when the
     factorization succeeds) a banded Cholesky preconditioner — built once
@@ -204,11 +242,33 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
     v0 = v0 / jnp.sqrt(jnp.vdot(v0, _mass_matvec(basis, mass_blocks, v0)))
     big_v = jnp.zeros((m, n), dtype)
     big_mv = jnp.zeros((m, n), dtype)
-    alphas = np.zeros(m, np.float64)
-    betas = np.zeros(m, np.float64)
     v = v0
     v_prev = jnp.zeros(n, dtype)
     beta_prev = jnp.asarray(0.0, dtype)
+
+    if bsolver is not None:
+        # Fused fast path: one dispatch per step, zero per-step fetches;
+        # breakdown checked every 16 steps on a batched betas window.
+        import os as _os
+        inner_iters = int(_os.environ.get("MESHFLOW_SPECTRUM_INNER_ITERS",
+                                          "32"))
+        alphas_d = jnp.zeros(m, dtype)
+        betas_d = jnp.zeros(m, dtype)
+        for j in range(m):
+            (big_v, big_mv, alphas_d, betas_d, v, beta_prev,
+             v_prev) = _lanczos_banded_step(
+                basis, mass_blocks, sys_vals, bsolver.dinv, bsolver.pbelow,
+                bsolver.perm, bsolver.inv_perm, big_v, big_mv, alphas_d,
+                betas_d, defl_v, defl_mv, v, beta_prev, v_prev,
+                jnp.asarray(j, jnp.int32), inner_iters, bsolver.pat.n)
+            if (j & 15) == 15 or j == m - 1:
+                lo = j - 15 if j >= 15 else 0
+                if np.any(np.asarray(betas_d[lo:j + 1]) < 1e-14):
+                    break
+        return big_v, alphas_d, betas_d
+
+    alphas = np.zeros(m, np.float64)
+    betas = np.zeros(m, np.float64)
     for j in range(m):
         b = _mass_matvec(basis, mass_blocks, v)
         w_raw, _ = inner_solve(b)

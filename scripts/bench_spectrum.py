@@ -36,6 +36,8 @@ def main():
 
     from meshopticalflow_tpu.utils.compat import honor_platform_env
     honor_platform_env()
+    from meshopticalflow_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax
     import jax.numpy as jnp
