@@ -326,7 +326,7 @@ class BandedCholeskySolver:
     """
 
     def __init__(self, pattern: BandPattern, interpret: bool = False,
-                 solve_panel_k: int = 4, keep_factor: bool = False):
+                 solve_panel_k: int = 8, keep_factor: bool = False):
         self.pat = pattern
         self.slots = jnp.asarray(pattern.slots)
         self.perm = jnp.asarray(pattern.perm, jnp.int32)
@@ -402,6 +402,39 @@ def _bpcg_chunk(cols, vals, dinv, pbelow, perm, inv_perm, x, r, z, p, rz,
 
     x, r, z, p, rz = lax.fori_loop(0, iters, body, (x, r, z, p, rz))
     return x, r, z, p, rz, jnp.vdot(r, r)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "n"))
+def bpcg_probe(cols, vals, dinv, pbelow, perm, inv_perm, b, iters: int,
+               n: int):
+    """||r||^2 trajectory of ``iters`` banded-PCG steps on rhs ``b``.
+
+    One dispatch + one (iters+1,)-float fetch, run once per factorization
+    to MEASURE the preconditioner's contraction rate: the banded Cholesky
+    is near-exact when the RCM band captures the whole pattern (2-3 digits
+    per iteration) but degrades with band truncation or diagonal shifts,
+    so fixed-trip inner solves are sized from this probe instead of a
+    worst-case constant."""
+    def matvec(v):
+        return jnp.sum(vals * v[cols], axis=1)
+
+    def body(s, _):
+        x, r, z, p, rz = s
+        ap = matvec(p)
+        pap = jnp.vdot(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), jnp.vdot(r, r)
+
+    z0 = band_solve_panels(dinv, pbelow, perm, inv_perm, b, n).astype(b.dtype)
+    state0 = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0))
+    _, hist = lax.scan(body, state0, None, length=iters)
+    return jnp.concatenate([jnp.vdot(b, b)[None], hist])
 
 
 def ell_pcg_banded(cols, vals, solver: "BandedCholeskySolver", b,

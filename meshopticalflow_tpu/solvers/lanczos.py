@@ -49,6 +49,15 @@ def _mass_diag(basis: BasisDevice, mass_blocks: jnp.ndarray) -> jnp.ndarray:
                                num_segments=basis.n_coeffs)
 
 
+@jax.jit
+def _prolong_multi(basis: BasisDevice, x: jnp.ndarray) -> jnp.ndarray:
+    """P X for X (n, C) -> (C, T, 2): the final eigenfield prolongation as
+    ONE dispatch + ONE fetch (a per-eigenvector loop costs C tunnel round
+    trips; measured ~16 s of the spectrum CLI's tail at k=20)."""
+    y = jnp.einsum("tak,tkc->tac", basis.p_wt, x[basis.p_idx])
+    return jnp.transpose(y, (2, 0, 1))
+
+
 def _mass_matvec_multi(basis: BasisDevice, mass_blocks: jnp.ndarray, x: jnp.ndarray):
     """M X for X (n, C): columnwise prolong/restrict."""
     y = jnp.einsum("tak,tkc->tac", basis.p_wt, x[basis.p_idx])
@@ -131,51 +140,63 @@ def _lanczos_host_step(basis: BasisDevice, mass_blocks, big_v, big_mv, defl_v,
     return big_v, big_mv, alpha, beta, v_next
 
 
-@functools.partial(jax.jit, static_argnames=("inner_iters", "n"))
-def _lanczos_banded_step(basis: BasisDevice, mass_blocks, sys_vals, dinv,
-                         pbelow, perm, inv_perm, big_v, big_mv, alphas,
-                         betas, defl_v, defl_mv, v, beta_prev, v_prev, j,
-                         inner_iters: int, n: int):
-    """One COMPLETE host-stepped Lanczos iteration as a single dispatch:
-    mass matvec + fixed-iteration banded-preconditioned PCG inner solve +
-    full M-reorthogonalization, with alphas/betas accumulated ON DEVICE.
+@functools.partial(jax.jit, static_argnames=("steps", "inner_iters", "n"))
+def _lanczos_banded_block(basis: BasisDevice, mass_blocks, sys_vals, dinv,
+                          pbelow, perm, inv_perm, big_v, big_mv, alphas,
+                          betas, defl_v, defl_mv, v, beta_prev, v_prev, j0,
+                          steps: int, inner_iters: int, n: int):
+    """``steps`` complete Lanczos iterations as ONE dispatch: per step, a
+    mass matvec + fixed-trip banded-preconditioned PCG inner solve + full
+    M-reorthogonalization, with alphas/betas accumulated ON DEVICE and no
+    mid-run fetches at all.
 
-    The per-step convergence bookkeeping of the chunked inner solver costs
-    ~5 device-to-host fetches per Lanczos step; at the tunneled TPU's
-    0.1-0.3 s per fetch that was ~80% of the spectrum solve's wall clock.
-    With the dtype-registering shift the banded-PCG reaches ~1e-9 within
-    ~30 iterations, so a fixed trip count loses nothing the f64 host
-    acceptance (which measures final candidate quality independently)
-    would keep."""
+    Per-step host dispatch (~50 ms over the tunnel) and per-step
+    convergence bookkeeping (~5 fetches each) used to be ~80% of the
+    spectrum's wall clock. With the dtype-registering shift the banded
+    factor is near-exact, so the probed fixed trip count replaces inner
+    convergence checks, and breakdown needs no mid-run check either: the
+    caller's post-hoc ``cut`` truncation discards everything past a tiny
+    beta or a non-finite coefficient. Blocks of <=64 steps keep each
+    dispatch a few seconds of device time, far under the tunnel's
+    dispatch watchdog (which a fused 20k-iteration solve did trip)."""
     from meshopticalflow_tpu.solvers.banded import _bpcg_chunk, band_solve_panels
 
-    mv = _mass_matvec(basis, mass_blocks, v)
-    r = mv
-    z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
-    w_raw, *_ = _bpcg_chunk(basis.ell_cols, sys_vals, dinv, pbelow, perm,
-                            inv_perm, jnp.zeros_like(r), r, z, z,
-                            jnp.vdot(r, z), inner_iters, n)
-    big_v = big_v.at[j].set(v)
-    big_mv = big_mv.at[j].set(mv)
-    alpha = jnp.vdot(w_raw, mv)
-    w = w_raw - alpha * v - beta_prev * v_prev
-    for _ in range(2):
-        w = w - big_v.T @ (big_mv @ w)
-        w = w - defl_v.T @ (defl_mv @ w)
-    beta = jnp.sqrt(jnp.maximum(jnp.vdot(w, _mass_matvec(basis, mass_blocks, w)), 0.0))
-    v_next = w / jnp.where(beta > 1e-30, beta, 1.0)
-    alphas = alphas.at[j].set(alpha)
-    betas = betas.at[j].set(beta)
-    return big_v, big_mv, alphas, betas, v_next, beta, v
+    def body(t, carry):
+        big_v, big_mv, alphas, betas, v, beta_prev, v_prev = carry
+        j = j0 + t
+        mv = _mass_matvec(basis, mass_blocks, v)
+        z = band_solve_panels(dinv, pbelow, perm, inv_perm, mv, n).astype(mv.dtype)
+        w_raw, *_ = _bpcg_chunk(basis.ell_cols, sys_vals, dinv, pbelow, perm,
+                                inv_perm, jnp.zeros_like(mv), mv, z, z,
+                                jnp.vdot(mv, z), inner_iters, n)
+        big_v = big_v.at[j].set(v)
+        big_mv = big_mv.at[j].set(mv)
+        alpha = jnp.vdot(w_raw, mv)
+        w = w_raw - alpha * v - beta_prev * v_prev
+        for _ in range(2):
+            w = w - big_v.T @ (big_mv @ w)
+            w = w - defl_v.T @ (defl_mv @ w)
+        beta = jnp.sqrt(jnp.maximum(
+            jnp.vdot(w, _mass_matvec(basis, mass_blocks, w)), 0.0))
+        v_next = w / jnp.where(beta > 1e-30, beta, 1.0)
+        alphas = alphas.at[j].set(alpha)
+        betas = betas.at[j].set(beta)
+        return (big_v, big_mv, alphas, betas, v_next, beta, v)
+
+    carry = (big_v, big_mv, alphas, betas, v, beta_prev, v_prev)
+    return lax.fori_loop(0, steps, body, carry)
 
 
 class ShiftInvertPack(NamedTuple):
     """The shift-invert system S + sigma*M on the ELL layout plus (when the
     factorization succeeds) a banded Cholesky preconditioner — built once
-    per sigma and shared by every restart AND the purification solve."""
+    per sigma and shared by every restart AND the purification solve.
+    ``inner_iters`` is the measured fixed trip count for the fused inner
+    solves (sized from the preconditioner's probed contraction rate)."""
     sys_vals: jnp.ndarray
     diag: jnp.ndarray
     bsolver: object | None
+    inner_iters: int = 32
 
 
 def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
@@ -204,7 +225,32 @@ def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
             bsolver = BandedCholeskySolver(pat).factor(sys_vals)
         except RuntimeError:
             bsolver = None  # breakdown at every shift: Jacobi fallback
-    return ShiftInvertPack(sys_vals, diag, bsolver)
+
+    inner_iters = 32
+    if bsolver is not None:
+        # Size the fused fixed-trip inner solves from the MEASURED
+        # contraction of the banded preconditioner on this system: probe a
+        # random rhs, take the median per-iteration ||r||^2 ratio over the
+        # converging prefix, and pick the count that reaches 1e-9 relative
+        # residual. Near-exact factors (RCM band covers the pattern) land
+        # at ~6-10 iterations; truncated or shift-perturbed factors degrade
+        # gracefully toward the 48 cap.
+        from meshopticalflow_tpu.solvers.banded import bpcg_probe
+        probe_rhs = jnp.asarray(
+            np.random.default_rng(12345).normal(size=bsolver.pat.n),
+            sys_vals.dtype)
+        hist = np.maximum(np.asarray(
+            bpcg_probe(basis.ell_cols, sys_vals, bsolver.dinv,
+                       bsolver.pbelow, bsolver.perm, bsolver.inv_perm,
+                       probe_rhs, 12, bsolver.pat.n), np.float64), 1e-300)
+        live = hist > hist[0] * 1e-17  # exclude the f32 stagnation floor
+        ratios = (hist[1:] / hist[:-1])[live[1:]]
+        if len(ratios):
+            rho2 = float(np.median(ratios))
+            if rho2 < 0.5:
+                inner_iters = int(np.ceil(np.log(1e-18) / np.log(rho2)))
+        inner_iters = max(6, min(48, inner_iters + 2))  # +2 safety margin
+    return ShiftInvertPack(sys_vals, diag, bsolver, inner_iters)
 
 
 def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
@@ -227,7 +273,7 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
     dtype = basis.s_vals.dtype
     if pack is None:
         pack = _shift_invert_pack(basis, mass_blocks, sigma, inner)
-    sys_vals, diag, bsolver = pack
+    sys_vals, diag, bsolver = pack.sys_vals, pack.diag, pack.bsolver
 
     def inner_solve(bb):
         if bsolver is not None:
@@ -247,24 +293,24 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
     beta_prev = jnp.asarray(0.0, dtype)
 
     if bsolver is not None:
-        # Fused fast path: one dispatch per step, zero per-step fetches;
-        # breakdown checked every 16 steps on a batched betas window.
+        # Fused fast path: blocks of <=64 full Lanczos steps per dispatch,
+        # zero mid-run fetches (see _lanczos_banded_block).
         import os as _os
-        inner_iters = int(_os.environ.get("MESHFLOW_SPECTRUM_INNER_ITERS",
-                                          "32"))
+        _env = _os.environ.get("MESHFLOW_SPECTRUM_INNER_ITERS")
+        inner_iters = int(_env) if _env else pack.inner_iters
         alphas_d = jnp.zeros(m, dtype)
         betas_d = jnp.zeros(m, dtype)
-        for j in range(m):
+        j0 = 0
+        while j0 < m:
+            steps = min(64, m - j0)
             (big_v, big_mv, alphas_d, betas_d, v, beta_prev,
-             v_prev) = _lanczos_banded_step(
+             v_prev) = _lanczos_banded_block(
                 basis, mass_blocks, sys_vals, bsolver.dinv, bsolver.pbelow,
                 bsolver.perm, bsolver.inv_perm, big_v, big_mv, alphas_d,
                 betas_d, defl_v, defl_mv, v, beta_prev, v_prev,
-                jnp.asarray(j, jnp.int32), inner_iters, bsolver.pat.n)
-            if (j & 15) == 15 or j == m - 1:
-                lo = j - 15 if j >= 15 else 0
-                if np.any(np.asarray(betas_d[lo:j + 1]) < 1e-14):
-                    break
+                jnp.asarray(j0, jnp.int32), steps, inner_iters,
+                bsolver.pat.n)
+            j0 += steps
         return big_v, alphas_d, betas_d
 
     alphas = np.zeros(m, np.float64)
@@ -357,8 +403,17 @@ def compute_spectrum(
     # Host-stepped runs (the accelerator path) build the shift-invert
     # system + banded preconditioner ONCE and share it across restarts and
     # the purification solve; the fused path keeps everything in-jit.
+    import os as _os0
+    import sys as _sys0
+    import time as _time0
+    _t_pack = _time0.time()
     pack = (_shift_invert_pack(basis, mass_blocks, sigma_eff)
             if host_stepped else None)
+    if _os0.environ.get("MESHFLOW_SPECTRUM_DEBUG") and pack is not None:
+        print(f"[spectrum] shift-invert pack built in "
+              f"{_time0.time() - _t_pack:.1f}s "
+              f"(probed inner_iters={pack.inner_iters})",
+              file=_sys0.stderr, flush=True)
 
     # Acceptance uses the relative residual with a dtype-eps ABSOLUTE
     # allowance subtracted from the numerator (see the acceptance loop):
@@ -391,11 +446,31 @@ def compute_spectrum(
     import time as _time
     _dbg = bool(_os.environ.get("MESHFLOW_SPECTRUM_DEBUG"))
     _t_start = _time.time()
+    def _tick(label):
+        # Stage wall-clock (debug only): jax.block_until_ready is NOT used —
+        # each stage ends in a host fetch, so the clock is already honest.
+        if _dbg:
+            print(f"[spectrum]   {label} t={_time.time() - _t_start:.1f}s",
+                  file=_sys.stderr, flush=True)
+
     for _restart in range(max_restarts):
         if _dbg:
             print(f"[spectrum] restart {_restart} accepted={len(accepted)} "
                   f"t={_time.time() - _t_start:.1f}s", file=_sys.stderr,
                   flush=True)
+        # Once k pairs are accepted, further restarts only CONFIRM that the
+        # deflated pencil hides nothing below the current k-th eigenvalue.
+        # Lanczos surfaces extreme eigenvalues of the deflated shift-invert
+        # operator first — exactly where a missed degenerate copy would
+        # appear — so a short subspace suffices; a full-m confirmation
+        # doubled the demo solve (18 s of 44). If the short run surfaces a
+        # sub-k-th near-miss, the break below defers to a full restart.
+        _confirm = len(accepted) >= k
+        if _confirm and near_miss is not None:
+            _kth0 = np.sort(np.array(accepted_lams))[k - 1]
+            if near_miss_lam <= _kth0 * (1 - 1e-6):
+                _confirm = False   # pending missed copy: full-depth restart
+        m_r = m if not _confirm else min(m, max(32, k + 8))
         # Fixed-shape deflation block (compile once); grows in steps of 8
         # when acceptance overshoots k (degenerate clusters straddling the
         # cut can accept past k).
@@ -420,15 +495,16 @@ def compute_spectrum(
         if host_stepped:
             big_v, alphas, betas = _lanczos_host(
                 basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
-                jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters,
+                jnp.asarray(defl_mv, dtype), m_r, cg_tol, cg_max_iters,
                 pack=pack)
         else:
             big_v, alphas, betas = _lanczos(
                 basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
-                jnp.asarray(defl_mv, dtype), m, cg_tol, cg_max_iters)
+                jnp.asarray(defl_mv, dtype), m_r, cg_tol, cg_max_iters)
+        _tick("lanczos")
         alphas = np.asarray(alphas, np.float64)
         betas = np.asarray(betas, np.float64)
-        cut = m
+        cut = m_r
         # Truncate at breakdown: tiny beta (invariant subspace reached) or a
         # non-finite coefficient (deflated recurrence divided by ~0) — NaNs
         # past that point would silently poison every Ritz pair.
@@ -456,7 +532,7 @@ def compute_spectrum(
             t_mat += np.diag(betas[:cut - 1], 1) + np.diag(betas[:cut - 1], -1)
         theta, y = np.linalg.eigh(t_mat)
         if _dbg:
-            print(f"[spectrum]   cut={cut}/{m} theta_range="
+            print(f"[spectrum]   cut={cut}/{m_r} theta_range="
                   f"[{theta.min():.3g},{theta.max():.3g}] "
                   f"beta_last={betas[max(cut - 1, 0)]:.3g}",
                   file=_sys.stderr, flush=True)
@@ -465,6 +541,7 @@ def compute_spectrum(
         with np.errstate(divide="ignore"):
             lams_all = 1.0 / np.where(np.abs(theta_sorted) > 1e-300, theta_sorted, 1e-300) - sigma_eff
         v_mat = np.asarray(big_v[:cut], np.float64).T
+        _tick("fetch big_v")
         cand = (v_mat @ y[:, order]).T
 
         # Purification: when M is only semi-definite (e.g. the Whitney
@@ -492,11 +569,13 @@ def compute_spectrum(
             from meshopticalflow_tpu.solvers.banded import ell_pcg_banded_multi
             pure, _ = ell_pcg_banded_multi(
                 basis.ell_cols, pack.sys_vals, pack.bsolver, b,
-                tol=cg_tol, max_iters=min(cg_max_iters, 400))
+                tol=cg_tol, max_iters=min(cg_max_iters, 400),
+                chunk=pack.inner_iters + 4)
         else:
             pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol,
                                 max_iters=cg_max_iters)
         pure = np.asarray(pure, np.float64) / theta_sorted[:take][None, :]
+        _tick("purify")
         # Rayleigh-Ritz on the purified block: near-converged Ritz pairs in
         # degenerate clusters arrive as mixtures at ~1e-3 residual; solving
         # the projected generalized eigenproblem unmixes them exactly within
@@ -520,6 +599,7 @@ def compute_spectrum(
             usable = np.concatenate([np.ones(len(theta2), bool),
                                      np.zeros(take - len(theta2), bool)])
 
+        _tick("rayleigh-ritz")
         # Residual-based acceptance with progressive M-orthogonalization
         # (ARPACK purges spurious pairs the same way). Accept a little past
         # k so degenerate clusters straddling the cut are caught.
@@ -567,11 +647,17 @@ def compute_spectrum(
                 new_found += 1
             elif res_rel < 1e-1 and (near_miss is None or lam < near_miss_lam):
                 near_miss, near_miss_lam = c / mnorm, lam
+        _tick(f"acceptance (+{new_found})")
         # Keep restarting until a deflated restart finds nothing new below
         # the current k-th eigenvalue — degenerate clusters need a fresh
         # Krylov sequence per extra copy.
         if len(accepted) >= k and new_found == 0:
-            break
+            kth = np.sort(np.array(accepted_lams))[k - 1]
+            if near_miss is None or near_miss_lam > kth * (1 - 1e-6):
+                break
+            # The (short) confirmation surfaced an unconverged candidate
+            # BELOW the current k-th eigenvalue: a missed degenerate copy.
+            # Fall through — the next restart seeds from it at full depth.
         if len(accepted) >= k:
             kth = np.sort(np.array(accepted_lams))[k - 1]
             if _restart >= 1 and new_found and min(accepted_lams[-new_found:]) > kth * (1 + 1e-6):
@@ -613,5 +699,5 @@ def compute_spectrum(
     order = np.argsort(np.array(accepted_lams))[:k]
     lams = np.array(accepted_lams)[order]
     coeffs = np.stack(accepted)[order]
-    fields = np.stack([np.asarray(prolong(basis, jnp.asarray(c, dtype))) for c in coeffs])
+    fields = np.asarray(_prolong_multi(basis, jnp.asarray(coeffs.T, dtype)))
     return SpectrumResult(lams, coeffs, fields)

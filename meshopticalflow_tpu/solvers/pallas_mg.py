@@ -400,7 +400,11 @@ def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag,
                                      jnp.float32(rel * (dmax or 0.0)),
                                      c1_band.nb, c1_band.bw)
         if bool(ok):
-            k = max(1, min(4, c1_band.bw // c1_band.nb))
+            # Widest panel the band admits: S=1024 measured 6x faster per
+            # triangular solve than S=512 on the 60k/bw=1024 systems (the
+            # scan is latency-bound, so fewer+fatter steps win; panel
+            # memory doubles to ~0.5 GB f32 at bench scale).
+            k = max(1, min(8, c1_band.bw // c1_band.nb))
             dinv, pbelow = build_solve_panels(l_blocks, k)
             if bf16:
                 dinv = dinv.astype(jnp.bfloat16)
