@@ -48,18 +48,24 @@ class CoarseSpace:
     p0: sp.csr_matrix               # (n_fine, n_coarse) coefficient transfer
     p0_idx: np.ndarray              # (n_fine, K0) padded gather form of p0
     p0_wt: np.ndarray
+    # lazily uploaded device copies of p0_idx / p0_wt (declared fields, not
+    # stealth attributes, so the dataclass owns its full state):
+    _p0_idx_dev: object = dataclasses.field(default=None, repr=False,
+                                            compare=False)
+    _p0_wt_dev: object = dataclasses.field(default=None, repr=False,
+                                           compare=False)
 
     @property
     def p0_idx_dev(self):
-        if not hasattr(self, "_p0_idx_dev"):
-            object.__setattr__(self, "_p0_idx_dev", jnp.asarray(self.p0_idx, jnp.int32))
+        if self._p0_idx_dev is None:
+            self._p0_idx_dev = jnp.asarray(self.p0_idx, jnp.int32)
         return self._p0_idx_dev
 
     @property
     def p0_wt_dev(self):
-        if not hasattr(self, "_p0_wt_dev"):
-            object.__setattr__(self, "_p0_wt_dev",
-                               jnp.asarray(self.p0_wt, self.coarse_dev.p_wt.dtype))
+        if self._p0_wt_dev is None:
+            self._p0_wt_dev = jnp.asarray(self.p0_wt,
+                                          self.coarse_dev.p_wt.dtype)
         return self._p0_wt_dev
 
 

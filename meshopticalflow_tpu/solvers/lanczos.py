@@ -187,6 +187,28 @@ def _lanczos_banded_block(basis: BasisDevice, mass_blocks, sys_vals, dinv,
     return lax.fori_loop(0, steps, body, carry)
 
 
+# RCM band-pattern cache keyed by the ELL cols array identity, weakref-
+# guarded against id recycling and bounded — the same shape as
+# solvers.refine._PATTERN_CACHE (a stealth ``basis._band_pat`` attribute
+# would be invisible to the dataclass and lost on reconstruction).
+import weakref as _weakref
+
+_BAND_PAT_CACHE: dict = {}
+
+
+def _band_pattern_for(ell_cols) -> object:
+    from meshopticalflow_tpu.solvers.banded import build_band_pattern
+    key = id(ell_cols)
+    ent = _BAND_PAT_CACHE.get(key)
+    if ent is None or ent[0]() is not ell_cols:
+        pat = build_band_pattern(np.asarray(ell_cols))
+        _BAND_PAT_CACHE[key] = (_weakref.ref(ell_cols), pat)
+        if len(_BAND_PAT_CACHE) > 4:
+            _BAND_PAT_CACHE.pop(next(iter(_BAND_PAT_CACHE)))
+        return pat
+    return ent[1]
+
+
 class ShiftInvertPack(NamedTuple):
     """The shift-invert system S + sigma*M on the ELL layout plus (when the
     factorization succeeds) a banded Cholesky preconditioner — built once
@@ -212,15 +234,8 @@ def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
 
     bsolver = None
     if inner == "banded":
-        from meshopticalflow_tpu.solvers.banded import (BandedCholeskySolver,
-                                                        build_band_pattern)
-        pat = getattr(basis, "_band_pat", None)
-        if pat is None:
-            pat = build_band_pattern(np.asarray(basis.ell_cols))
-            try:
-                object.__setattr__(basis, "_band_pat", pat)
-            except Exception:
-                pass
+        from meshopticalflow_tpu.solvers.banded import BandedCholeskySolver
+        pat = _band_pattern_for(basis.ell_cols)
         try:
             bsolver = BandedCholeskySolver(pat).factor(sys_vals)
         except RuntimeError:

@@ -83,6 +83,9 @@ class MGPack:
     n1: int
     n2: int
     interpret: bool = False
+    # Runtime registry uid (declared, not setattr'd ad hoc): assigned by
+    # _register_pack on first solver construction; None until then.
+    uid: object = dataclasses.field(default=None, repr=False, compare=False)
 
     @property
     def fine_nr(self) -> int:
@@ -633,10 +636,10 @@ _PACK_UIDS = itertools.count()
 def _register_pack(pack: MGPack) -> int:
     """Stable unique id for a pack; idempotent so repeated solver
     constructions over the SAME pack object keep hitting the jit cache."""
-    uid = getattr(pack, "_uid", None)
+    uid = pack.uid
     if uid is None or _PACKS.get(uid) is not pack:
         uid = next(_PACK_UIDS)
-        object.__setattr__(pack, "_uid", uid)
+        pack.uid = uid
         _PACKS[uid] = pack
     return uid
 

@@ -278,8 +278,8 @@ def test_pack_registry_weakref_gc():
 
     from meshopticalflow_tpu.solvers import pallas_mg as pm
 
-    class _FakePack:  # weakref-able stand-in; registration only touches _uid
-        pass
+    class _FakePack:  # weakref-able stand-in; registration only touches uid
+        uid = None
 
     before = len(pm._PACKS)
     live = _FakePack()

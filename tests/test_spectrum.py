@@ -173,3 +173,58 @@ def test_spectrum_float32_acceptance_floor():
                               max_lanczos=min(host.n_coeffs, 400))
     ref_lams, _ = _dense_reference_spectrum(host, mesh, k)
     np.testing.assert_allclose(result.eigenvalues, ref_lams, rtol=2e-3)
+
+
+def test_probed_inner_iters_sizes_fixed_trip_solves():
+    """The shift-invert pack probes the banded preconditioner's contraction
+    and sizes the fused fixed-trip inner solves from it (solvers/lanczos.py
+    _shift_invert_pack). The probed count must be sane AND sufficient: a
+    fixed-trip solve at that count has to reach near the dtype floor."""
+    from meshopticalflow_tpu.solvers.banded import _bpcg_chunk, band_solve_panels
+    from meshopticalflow_tpu.solvers.lanczos import _shift_invert_pack
+
+    tris, verts = make_sphere_mesh(2)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float32")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float32)
+    pack = _shift_invert_pack(basis, mass, 1e-3)
+    assert pack.bsolver is not None
+    assert 6 <= pack.inner_iters <= 48
+
+    b = jnp.asarray(np.random.default_rng(3).normal(size=host.n_coeffs),
+                    jnp.float32)
+    sol = pack.bsolver
+    z = band_solve_panels(sol.dinv, sol.pbelow, sol.perm, sol.inv_perm, b,
+                          sol.pat.n).astype(b.dtype)
+    x, *_ = _bpcg_chunk(basis.ell_cols, pack.sys_vals, sol.dinv, sol.pbelow,
+                        sol.perm, sol.inv_perm, jnp.zeros_like(b), b, z, z,
+                        jnp.vdot(b, z), pack.inner_iters, sol.pat.n)
+    # f64 residual of the fixed-trip f32 solve
+    cols = np.asarray(basis.ell_cols)
+    vals = np.asarray(pack.sys_vals, np.float64)
+    xh = np.asarray(x, np.float64)
+    r = np.asarray(b, np.float64) - (vals * xh[cols]).sum(axis=1)
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b, np.float64))
+    assert rel < 1e-5, rel
+
+
+def test_bpcg_probe_trajectory_decreases():
+    from meshopticalflow_tpu.solvers.banded import bpcg_probe
+    from meshopticalflow_tpu.solvers.lanczos import _shift_invert_pack
+
+    tris, verts = make_sphere_mesh(1)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float32")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float32)
+    pack = _shift_invert_pack(basis, mass, 1e-3)
+    sol = pack.bsolver
+    b = jnp.asarray(np.random.default_rng(0).normal(size=host.n_coeffs),
+                    jnp.float32)
+    hist = np.asarray(bpcg_probe(basis.ell_cols, pack.sys_vals, sol.dinv,
+                                 sol.pbelow, sol.perm, sol.inv_perm, b, 8,
+                                 sol.pat.n), np.float64)
+    assert hist.shape == (9,)
+    # strong contraction on the converging prefix (near-exact factor)
+    assert hist[1] < hist[0] * 1e-2
