@@ -361,7 +361,8 @@ def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
-                 config: FlowConfig, coarse=None, patch=None, x0=None):
+                 config: FlowConfig, coarse=None, patch=None, x0=None,
+                 device_mesh=None):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
@@ -375,7 +376,7 @@ def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                                mg_fine_cheb=config.mg_fine_cheb,
                                refine_tol=config.flow_refine_tol,
                                refine_floor=config.flow_refine_floor,
-                               x0=x0)
+                               x0=x0, device_mesh=device_mesh)
 
 
 @jax.jit
@@ -390,7 +391,7 @@ def _pack_level_scalars(*vals):
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
                 vpatch=None, want_resampled: bool = False,
-                compact_trace: bool = False, warm_x=None):
+                compact_trace: bool = False, warm_x=None, device_mesh=None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve. ``want_resampled`` additionally returns the advected per-vertex
@@ -409,7 +410,8 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     resampled = _resampled_signals(arrays, smoothed, t1, p1) if want_resampled else None
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch,
-                                                    x0=warm_x)
+                                                    x0=warm_x,
+                                                    device_mesh=device_mesh)
     _t3 = time.time()
     from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
@@ -568,9 +570,11 @@ class FlowProblem:
         # the tunneled runtime for minutes when it races the init upload
         # burst (observed at four different fetch sites across bench runs).
         float(jnp.add(jnp.ones(()), jnp.ones(())))
-        if device_mesh is not None:
+        if device_mesh is not None and config.flow_backend != "halo":
             # GSPMD shards the jitted stages; the Pallas kernels are
-            # single-device, so multi-chip runs use the XLA operator path.
+            # single-device, so multi-chip runs use the XLA operator path —
+            # or, opt-in, flow_backend="halo": the halo-exchange sharded
+            # form of the production 2-level cycle (parallel/halo.py).
             config = dataclasses.replace(config, flow_backend="xla")
         self.device_mesh = device_mesh
         self.config = config
@@ -1055,7 +1059,8 @@ class FlowProblem:
                 jnp.asarray(v_weight, self.dtype), cfg, self.coarse,
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
                 getattr(self, "vpatch", None), want_resampled=debug_dir is not None,
-                compact_trace=self.device_mesh is None, warm_x=warm_x)
+                compact_trace=self.device_mesh is None, warm_x=warm_x,
+                device_mesh=self.device_mesh)
             if cfg.flow_warm_start:
                 from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
                 warm_x = LAST_FLOW_SOLVE.get("x")

@@ -256,6 +256,7 @@ def update_optical_flow(
     refine_tol: float = 3e-9,
     refine_floor: float = 1e-5,
     x0=None,   # warm start for the flow solve (e.g. previous level's x)
+    device_mesh=None,  # jax.sharding.Mesh for backend="halo"
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -296,7 +297,17 @@ def update_optical_flow(
                                             vf_smooth_weight)
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if patch is not None and backend == "pallas":
+        if backend == "halo" and device_mesh is not None:
+            # Halo-exchange sharded form of the production 2-level cycle
+            # (parallel/halo.py): row-sharded fine level with ppermute
+            # halos, replicated exact banded c1 solve. Opt-in
+            # (flow_backend="halo") under a device mesh.
+            from meshopticalflow_tpu.parallel.halo import flow_halo_solver
+            solver = flow_halo_solver(device_mesh, basis.ell_cols, sys_vals,
+                                      diag, coarse.coarse_dev.ell_cols,
+                                      c_vals, coarse.p0_idx, coarse.p0_wt,
+                                      nu=mg_nu)
+        elif patch is not None and backend == "pallas":
             # Round-2 production path: Pallas block-ELL kernels, tile-space
             # state, bf16 smoothing (solvers/pallas_mg.py). The pattern pack
             # is static per problem — built once, cached on the patch level.

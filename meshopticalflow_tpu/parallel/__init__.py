@@ -5,7 +5,10 @@ from meshopticalflow_tpu.parallel.sharding import (
     advect_texture_sharded,
 )
 from meshopticalflow_tpu.parallel.halo import (
+    HaloCoarse,
     HaloEll,
+    build_halo_coarse,
     build_halo_ell,
+    halo_mg_pcg,
     halo_pcg,
 )

@@ -162,6 +162,234 @@ def build_halo_ell(cols: np.ndarray, vals, mesh: Mesh, axis: str = "dp",
         n=n, block=block, halo=halo)
 
 
+@dataclasses.dataclass
+class HaloCoarse:
+    """Replicated exact coarse correction for ``halo_mg_pcg`` — the
+    production solver's 2-level algorithm (nu-step damped-Jacobi smoothing
+    around an EXACT banded-Cholesky coarse solve, solvers/pallas_mg.py
+    _cycle_exact) restated for the halo-sharded layout.
+
+    The fine rows are sharded; the coarse space (n1 ~ 60k at bench scale,
+    0.24 MB f32) is REPLICATED: restriction scatters local partial sums and
+    GSPMD all-reduces them, every device runs the identical panelized
+    banded solve, and prolongation gathers from the replicated result —
+    the classic replicated-coarse strategy (coarse work is < 2% of cycle
+    traffic, so redundancy beats communication)."""
+
+    p0_idx_p: jnp.ndarray    # (n_pad, K0) c1 column per PERMUTED fine row
+    p0_wt_p: jnp.ndarray     # (n_pad, K0) weights (0 on pad rows)
+    dinv: jnp.ndarray        # panelized banded factor of the c1 system
+    pbelow: jnp.ndarray      # (build_solve_panels), replicated
+    bperm: jnp.ndarray
+    binv_perm: jnp.ndarray
+    n1: int
+
+
+def build_halo_coarse(h: HaloEll, p0_idx: np.ndarray, p0_wt,
+                      c1_cols: np.ndarray, c1_vals) -> HaloCoarse:
+    """Permute the prolongation gather into the halo row order and factor
+    the c1 system (banded Cholesky, panelized solves)."""
+    from meshopticalflow_tpu.solvers.banded import (BandedCholeskySolver,
+                                                    build_band_pattern)
+
+    perm = np.asarray(h.perm)
+    n = h.n
+    n_pad = h.block * h.mesh.devices.size
+    idx_p = np.asarray(p0_idx)[perm]
+    wt_p = np.asarray(p0_wt)[perm]
+    if n_pad > n:
+        k0 = idx_p.shape[1]
+        idx_p = np.concatenate([idx_p, np.zeros((n_pad - n, k0), np.int64)])
+        wt_p = np.concatenate([wt_p, np.zeros((n_pad - n, k0), wt_p.dtype)])
+    solver = BandedCholeskySolver(build_band_pattern(np.asarray(c1_cols)))
+    solver.factor(jnp.asarray(c1_vals, jnp.float32))
+    row = NamedSharding(h.mesh, P(h.axis, None))
+    return HaloCoarse(
+        p0_idx_p=jax.device_put(jnp.asarray(idx_p, jnp.int32), row),
+        p0_wt_p=jax.device_put(jnp.asarray(wt_p, h.vals_p.dtype), row),
+        dinv=solver.dinv, pbelow=solver.pbelow,
+        bperm=solver.perm, binv_perm=solver.inv_perm, n1=solver.pat.n)
+
+
+def _halo_cycle(h_static, hc_static, cols_local, vals_p, inv_d, p0_idx_p,
+                p0_wt_p, dinv, pbelow, bperm, binv_perm, r, omega, nu: int):
+    """Symmetric 2-level V-cycle on the halo layout (GSPMD level; only the
+    fine matvec is an explicit shard_map)."""
+    from meshopticalflow_tpu.solvers.banded import band_solve_panels
+
+    mesh, axis, halo = h_static
+    n1 = hc_static
+
+    def mv(v):
+        return _halo_matvec(mesh, axis, halo, cols_local, vals_p, v)
+
+    z = omega * inv_d * r
+    for _ in range(nu - 1):
+        z = z + omega * inv_d * (r - mv(z))
+    res = r - mv(z)
+    r1 = jnp.zeros(n1, res.dtype).at[p0_idx_p.ravel()].add(
+        (p0_wt_p * res[:, None]).ravel())
+    z1 = band_solve_panels(dinv, pbelow, bperm, binv_perm, r1,
+                           n1).astype(res.dtype)
+    z = z + jnp.sum(p0_wt_p * z1[p0_idx_p], axis=1)
+    for _ in range(nu):
+        z = z + omega * inv_d * (r - mv(z))
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("h_static", "hc_static",
+                                             "iters", "nu"))
+def _halo_mg_pcg_chunk(h_static, hc_static, cols_local, vals_p, inv_d,
+                       p0_idx_p, p0_wt_p, dinv, pbelow, bperm, binv_perm,
+                       x, r, z, p, rz, omega, iters: int, nu: int):
+    mesh, axis, halo = h_static
+
+    def body(_, s):
+        x, r, z, p, rz = s
+        ap = _halo_matvec(mesh, axis, halo, cols_local, vals_p, p)
+        pap = jnp.vdot(p, ap)
+        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = _halo_cycle(h_static, hc_static, cols_local, vals_p, inv_d,
+                        p0_idx_p, p0_wt_p, dinv, pbelow, bperm, binv_perm,
+                        r, omega, nu)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new)
+
+    x, r, z, p, rz = lax.fori_loop(0, iters, body, (x, r, z, p, rz))
+    return x, r, z, p, rz, jnp.vdot(r, r)
+
+
+def halo_mg_pcg(h: HaloEll, hc: HaloCoarse, b: jnp.ndarray,
+                tol: float = 1e-7, max_iters: int = 2000, chunk: int = 32,
+                omega: float = 0.7, nu: int = 2):
+    """PCG over the halo matvec preconditioned by the PRODUCTION 2-level
+    cycle (damped-Jacobi smoothing + exact banded c1 solve) — the sharded
+    form of the solver the 2K bench runs, converging in the same tens of
+    iterations instead of plain Jacobi-PCG's hundreds. b and the result
+    are in ORIGINAL row order."""
+    from meshopticalflow_tpu.solvers.cg import CGStats
+
+    bp = h._to_p(b)
+    b2 = float(jnp.vdot(bp, bp))
+    if b2 == 0:
+        return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                          jnp.asarray(0.0, b.dtype))
+    inv_d = jnp.where(h.diag_p != 0, 1.0 / jnp.where(h.diag_p != 0,
+                                                     h.diag_p, 1.0), 0.0)
+    h_static = (h.mesh, h.axis, h.halo)
+    omega_a = jnp.asarray(omega, bp.dtype)
+    x = jnp.zeros_like(bp)
+    r = bp
+    z = _halo_cycle(h_static, hc.n1, h.cols_local, h.vals_p, inv_d,
+                    hc.p0_idx_p, hc.p0_wt_p, hc.dinv, hc.pbelow, hc.bperm,
+                    hc.binv_perm, r, omega_a, nu)
+    p = z
+    rz = jnp.vdot(r, z)
+    threshold = (tol ** 2) * b2
+    done, r2 = 0, b2
+    while done < max_iters and r2 > threshold:
+        iters = min(chunk, max_iters - done)
+        x, r, z, p, rz, r2_dev = _halo_mg_pcg_chunk(
+            h_static, hc.n1, h.cols_local, h.vals_p, inv_d, hc.p0_idx_p,
+            hc.p0_wt_p, hc.dinv, hc.pbelow, hc.bperm, hc.binv_perm,
+            x, r, z, p, rz, omega_a, iters, nu)
+        r2 = float(r2_dev)
+        done += iters
+    rel = float(np.sqrt(max(r2, 0.0) / b2))
+    out = x[: h.n][h.inv_perm].astype(b.dtype)
+    return out, CGStats(jnp.asarray(done, jnp.int32),
+                        jnp.asarray(rel, b.dtype))
+
+
+class HaloFlowSolver:
+    """The flow-solve adapter for ``flow_backend="halo"``: same ``solve``
+    signature as the single-device MG solvers, so ``update_optical_flow``
+    wraps it in the usual iterative refinement."""
+
+    def __init__(self, h: HaloEll, hc: HaloCoarse, omega: float = 0.7,
+                 nu: int = 2):
+        self.h, self.hc, self.omega, self.nu = h, hc, omega, nu
+
+    def solve(self, b, tol: float = 1e-7, max_iters: int = 200, x0=None,
+              b_norm2=None):
+        return halo_mg_pcg(self.h, self.hc, b, tol=tol, max_iters=max_iters,
+                           omega=self.omega, nu=self.nu)
+
+
+# Static halo layout cache keyed by the fine ELL cols array identity
+# (weakref-guarded against id recycling, bounded) — the RCM ordering,
+# halo-local column rewrite, permuted prolongation gather, and c1 band
+# pattern are per-problem; only the VALUES change per Gauss-Newton level.
+_FLOW_HALO_CACHE: dict = {}
+
+
+def flow_halo_solver(device_mesh: Mesh, cols, sys_vals, diag, c1_cols,
+                     c1_vals, p0_idx, p0_wt, nu: int = 2) -> HaloFlowSolver:
+    """Build (or revalue) the halo-sharded 2-level flow solver for one
+    Gauss-Newton level."""
+    import weakref
+
+    from meshopticalflow_tpu.solvers.banded import (BandedCholeskySolver,
+                                                    build_band_pattern)
+
+    axis = device_mesh.axis_names[0]
+    key = id(cols)
+    ent = _FLOW_HALO_CACHE.get(key)
+    if ent is None or ent["ref"]() is not cols or ent["mesh"] is not device_mesh:
+        h = build_halo_ell(np.asarray(cols), jnp.asarray(sys_vals),
+                           device_mesh, axis=axis, diag=np.asarray(diag))
+        pat1 = build_band_pattern(np.asarray(c1_cols))
+        perm = np.asarray(h.perm)
+        n_pad = h.block * device_mesh.devices.size
+        idx_p = np.asarray(p0_idx)[perm]
+        wt_p = np.asarray(p0_wt)[perm]
+        if n_pad > h.n:
+            k0 = idx_p.shape[1]
+            idx_p = np.concatenate([idx_p,
+                                    np.zeros((n_pad - h.n, k0), np.int64)])
+            wt_p = np.concatenate([wt_p,
+                                   np.zeros((n_pad - h.n, k0), wt_p.dtype)])
+        row = NamedSharding(device_mesh, P(axis, None))
+        ent = {"ref": weakref.ref(cols), "mesh": device_mesh, "h": h,
+               "pat1": pat1,
+               "p0_idx_p": jax.device_put(jnp.asarray(idx_p, jnp.int32), row),
+               "p0_wt_p": jax.device_put(jnp.asarray(wt_p, h.vals_p.dtype),
+                                         row)}
+        _FLOW_HALO_CACHE[key] = ent
+        if len(_FLOW_HALO_CACHE) > 4:
+            _FLOW_HALO_CACHE.pop(next(iter(_FLOW_HALO_CACHE)))
+    else:
+        h = _revalue_halo(ent["h"], sys_vals, diag)
+        ent["h"] = h
+    solver1 = BandedCholeskySolver(ent["pat1"]).factor(
+        jnp.asarray(c1_vals, jnp.float32))
+    hc = HaloCoarse(p0_idx_p=ent["p0_idx_p"], p0_wt_p=ent["p0_wt_p"],
+                    dinv=solver1.dinv, pbelow=solver1.pbelow,
+                    bperm=solver1.perm, binv_perm=solver1.inv_perm,
+                    n1=solver1.pat.n)
+    return HaloFlowSolver(ent["h"], hc, nu=nu)
+
+
+def _revalue_halo(h: HaloEll, vals, diag) -> HaloEll:
+    """New level values on the cached static halo layout."""
+    n_pad = h.block * h.mesh.devices.size
+    vals_p = jnp.asarray(vals)[h.perm]
+    diag_p = jnp.asarray(diag)[h.perm]
+    if n_pad > h.n:
+        vals_p = jnp.concatenate(
+            [vals_p, jnp.zeros((n_pad - h.n, vals_p.shape[1]), vals_p.dtype)])
+        diag_p = jnp.concatenate(
+            [diag_p, jnp.zeros(n_pad - h.n, diag_p.dtype)])
+    row = NamedSharding(h.mesh, P(h.axis, None))
+    vec = NamedSharding(h.mesh, P(h.axis))
+    return dataclasses.replace(h, vals_p=jax.device_put(vals_p, row),
+                               diag_p=jax.device_put(diag_p, vec))
+
+
 @functools.partial(jax.jit, static_argnames=("h_static", "iters"))
 def _halo_pcg_chunk(h_static, cols_local, vals_p, inv_d, x, r, z, p, rz,
                     iters: int):

@@ -219,3 +219,96 @@ def test_halo_pcg_solves(halo_basis):
                       shape=(n, n))
     res = np.linalg.norm(a @ np.asarray(x, np.float64) - b) / np.linalg.norm(b)
     assert res < 1e-7, (res, int(stats.iterations))
+
+
+def test_halo_mg_pcg_production_cycle():
+    """halo_mg_pcg runs the PRODUCTION 2-level algorithm (Jacobi smoothing
+    + exact banded c1 solve) on the halo-sharded layout: on a real flow
+    system with its real geometric coarse space it must (a) solve to
+    tolerance, (b) converge in FAR fewer iterations than Jacobi halo_pcg,
+    and (c) match the scipy direct solution."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from meshopticalflow_tpu.flow.pipeline import _stage_resample, _stage_smooth
+    from meshopticalflow_tpu.models.base import (build_flow_system,
+                                                 coarse_system_vals)
+    from meshopticalflow_tpu.parallel.halo import (build_halo_coarse,
+                                                   build_halo_ell,
+                                                   halo_mg_pcg, halo_pcg)
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+
+    cfg = FlowConfig(dog_weight=0.0, levels=2, dtype="float64")
+    prob = synthetic_sphere_problem(cfg, subdiv=3, hierarchy=True)
+    arrays = prob.arrays
+    basis = arrays.basis
+    smoothed, _ = _stage_smooth(arrays, jnp.asarray(cfg.scalar_smooth_weight,
+                                                    jnp.float64), cfg,
+                                prob.vcoarse, prob.vpatch)
+    d_blocks, rhs_t, _, _, _ = _stage_resample(arrays, prob.tfield, smoothed,
+                                               cfg)
+    lam = cfg.resolved_vf_smooth_weight()
+    sys_vals, _, rhs, _, scale = build_flow_system(
+        basis, d_blocks, rhs_t, jnp.asarray(lam, jnp.float64))
+
+    cols = np.asarray(basis.ell_cols)
+    n, w = cols.shape
+    vals = np.asarray(sys_vals, np.float64)
+    mesh = make_device_mesh(8)
+    h = build_halo_ell(cols, jnp.asarray(vals), mesh)
+
+    cs = prob.coarse
+    c_vals = np.asarray(coarse_system_vals(cs.coarse_dev, d_blocks,
+                                           jnp.asarray(scale),
+                                           jnp.asarray(lam))[0])
+    hc = build_halo_coarse(h, cs.p0_idx, cs.p0_wt,
+                           np.asarray(cs.coarse_dev.ell_cols), c_vals)
+
+    b = np.asarray(rhs, np.float64)
+    x_mg, stats_mg = halo_mg_pcg(h, hc, jnp.asarray(b), tol=1e-9,
+                                 max_iters=400, chunk=16)
+    a = sp.csr_matrix((vals.ravel(), (np.repeat(np.arange(n), w),
+                                      cols.ravel())), shape=(n, n))
+    res = np.linalg.norm(a @ np.asarray(x_mg, np.float64) - b) / np.linalg.norm(b)
+    assert res < 1e-7, (res, int(stats_mg.iterations))
+
+    x_ref = spla.spsolve(a.tocsc(), b)
+    err = np.linalg.norm(np.asarray(x_mg, np.float64) - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-6, err
+
+    _, stats_jac = halo_pcg(h, jnp.asarray(b), tol=1e-9, max_iters=4000)
+    assert int(stats_mg.iterations) * 3 <= int(stats_jac.iterations), (
+        int(stats_mg.iterations), int(stats_jac.iterations))
+
+
+def test_production_run_sharded_halo_backend_matches():
+    """flow_backend="halo" under a device mesh runs the halo-exchange
+    2-level solver (parallel/halo.py HaloFlowSolver) inside the SAME
+    refinement wrapper as production, and the sharded trajectory matches
+    the solo run."""
+    import numpy as np
+    from meshopticalflow_tpu.config import FlowConfig, VectorFieldMode
+    from meshopticalflow_tpu.parallel.sharding import make_device_mesh
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, levels=3, dtype="float64",
+                     dog_weight=1.0, cg_tol=1e-10, cg_max_iters=3000,
+                     artifact_cache=False)
+    solo = synthetic_sphere_problem(cfg, subdiv=2, hierarchy=True)
+    res_solo = solo.run()
+
+    cfg_halo = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, levels=3,
+                          dtype="float64", dog_weight=1.0, cg_tol=1e-10,
+                          cg_max_iters=3000, artifact_cache=False,
+                          flow_backend="halo")
+    mesh = make_device_mesh(8)
+    shard = synthetic_sphere_problem(cfg_halo, subdiv=2, hierarchy=True,
+                                     device_mesh=mesh)
+    assert shard.config.flow_backend == "halo"  # not force-overwritten
+    res_shard = shard.run()
+    assert all(m["flow_res"] < 1e-6 for m in res_shard.metrics)
+
+    np.testing.assert_allclose(np.asarray(shard.tfield),
+                               np.asarray(solo.tfield), atol=1e-8)
+    for a, b in zip(res_solo.metrics, res_shard.metrics):
+        assert abs(a["alignment_error"] - b["alignment_error"]) < 1e-6
