@@ -185,6 +185,24 @@ class HaloCoarse:
     n1: int
 
 
+def _permute_pad_p0(h: HaloEll, p0_idx, p0_wt):
+    """RCM-permute the prolongation gather into the halo row order,
+    zero-pad to the sharded row count, and upload row-sharded."""
+    perm = np.asarray(h.perm)
+    n_pad = h.block * h.mesh.devices.size
+    idx_p = np.asarray(p0_idx)[perm]
+    wt_p = np.asarray(p0_wt)[perm]
+    if n_pad > h.n:
+        k0 = idx_p.shape[1]
+        idx_p = np.concatenate([idx_p,
+                                np.zeros((n_pad - h.n, k0), np.int64)])
+        wt_p = np.concatenate([wt_p,
+                               np.zeros((n_pad - h.n, k0), wt_p.dtype)])
+    row = NamedSharding(h.mesh, P(h.axis, None))
+    return (jax.device_put(jnp.asarray(idx_p, jnp.int32), row),
+            jax.device_put(jnp.asarray(wt_p, h.vals_p.dtype), row))
+
+
 def build_halo_coarse(h: HaloEll, p0_idx: np.ndarray, p0_wt,
                       c1_cols: np.ndarray, c1_vals) -> HaloCoarse:
     """Permute the prolongation gather into the halo row order and factor
@@ -192,21 +210,11 @@ def build_halo_coarse(h: HaloEll, p0_idx: np.ndarray, p0_wt,
     from meshopticalflow_tpu.solvers.banded import (BandedCholeskySolver,
                                                     build_band_pattern)
 
-    perm = np.asarray(h.perm)
-    n = h.n
-    n_pad = h.block * h.mesh.devices.size
-    idx_p = np.asarray(p0_idx)[perm]
-    wt_p = np.asarray(p0_wt)[perm]
-    if n_pad > n:
-        k0 = idx_p.shape[1]
-        idx_p = np.concatenate([idx_p, np.zeros((n_pad - n, k0), np.int64)])
-        wt_p = np.concatenate([wt_p, np.zeros((n_pad - n, k0), wt_p.dtype)])
+    idx_p, wt_p = _permute_pad_p0(h, p0_idx, p0_wt)
     solver = BandedCholeskySolver(build_band_pattern(np.asarray(c1_cols)))
     solver.factor(jnp.asarray(c1_vals, jnp.float32))
-    row = NamedSharding(h.mesh, P(h.axis, None))
     return HaloCoarse(
-        p0_idx_p=jax.device_put(jnp.asarray(idx_p, jnp.int32), row),
-        p0_wt_p=jax.device_put(jnp.asarray(wt_p, h.vals_p.dtype), row),
+        p0_idx_p=idx_p, p0_wt_p=wt_p,
         dinv=solver.dinv, pbelow=solver.pbelow,
         bperm=solver.perm, binv_perm=solver.inv_perm, n1=solver.pat.n)
 
@@ -265,16 +273,17 @@ def _halo_mg_pcg_chunk(h_static, hc_static, cols_local, vals_p, inv_d,
 
 def halo_mg_pcg(h: HaloEll, hc: HaloCoarse, b: jnp.ndarray,
                 tol: float = 1e-7, max_iters: int = 2000, chunk: int = 32,
-                omega: float = 0.7, nu: int = 2):
+                omega: float = 0.7, nu: int = 2, x0=None, b_norm2=None):
     """PCG over the halo matvec preconditioned by the PRODUCTION 2-level
     cycle (damped-Jacobi smoothing + exact banded c1 solve) — the sharded
     form of the solver the 2K bench runs, converging in the same tens of
     iterations instead of plain Jacobi-PCG's hundreds. b and the result
-    are in ORIGINAL row order."""
+    are in ORIGINAL row order. ``b_norm2``, when the caller already knows
+    ||b||^2 (refinement does), skips one device fetch."""
     from meshopticalflow_tpu.solvers.cg import CGStats
 
     bp = h._to_p(b)
-    b2 = float(jnp.vdot(bp, bp))
+    b2 = float(b_norm2) if b_norm2 is not None else float(jnp.vdot(bp, bp))
     if b2 == 0:
         return jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                           jnp.asarray(0.0, b.dtype))
@@ -282,8 +291,12 @@ def halo_mg_pcg(h: HaloEll, hc: HaloCoarse, b: jnp.ndarray,
                                                      h.diag_p, 1.0), 0.0)
     h_static = (h.mesh, h.axis, h.halo)
     omega_a = jnp.asarray(omega, bp.dtype)
-    x = jnp.zeros_like(bp)
-    r = bp
+    if x0 is not None:
+        x = h._to_p(jnp.asarray(x0, bp.dtype))
+        r = bp - h.matvec_p(x)
+    else:
+        x = jnp.zeros_like(bp)
+        r = bp
     z = _halo_cycle(h_static, hc.n1, h.cols_local, h.vals_p, inv_d,
                     hc.p0_idx_p, hc.p0_wt_p, hc.dinv, hc.pbelow, hc.bperm,
                     hc.binv_perm, r, omega_a, nu)
@@ -317,7 +330,8 @@ class HaloFlowSolver:
     def solve(self, b, tol: float = 1e-7, max_iters: int = 200, x0=None,
               b_norm2=None):
         return halo_mg_pcg(self.h, self.hc, b, tol=tol, max_iters=max_iters,
-                           omega=self.omega, nu=self.nu)
+                           omega=self.omega, nu=self.nu, x0=x0,
+                           b_norm2=b_norm2)
 
 
 # Static halo layout cache keyed by the fine ELL cols array identity
@@ -343,22 +357,9 @@ def flow_halo_solver(device_mesh: Mesh, cols, sys_vals, diag, c1_cols,
         h = build_halo_ell(np.asarray(cols), jnp.asarray(sys_vals),
                            device_mesh, axis=axis, diag=np.asarray(diag))
         pat1 = build_band_pattern(np.asarray(c1_cols))
-        perm = np.asarray(h.perm)
-        n_pad = h.block * device_mesh.devices.size
-        idx_p = np.asarray(p0_idx)[perm]
-        wt_p = np.asarray(p0_wt)[perm]
-        if n_pad > h.n:
-            k0 = idx_p.shape[1]
-            idx_p = np.concatenate([idx_p,
-                                    np.zeros((n_pad - h.n, k0), np.int64)])
-            wt_p = np.concatenate([wt_p,
-                                   np.zeros((n_pad - h.n, k0), wt_p.dtype)])
-        row = NamedSharding(device_mesh, P(axis, None))
+        idx_p, wt_p = _permute_pad_p0(h, p0_idx, p0_wt)
         ent = {"ref": weakref.ref(cols), "mesh": device_mesh, "h": h,
-               "pat1": pat1,
-               "p0_idx_p": jax.device_put(jnp.asarray(idx_p, jnp.int32), row),
-               "p0_wt_p": jax.device_put(jnp.asarray(wt_p, h.vals_p.dtype),
-                                         row)}
+               "pat1": pat1, "p0_idx_p": idx_p, "p0_wt_p": wt_p}
         _FLOW_HALO_CACHE[key] = ent
         if len(_FLOW_HALO_CACHE) > 4:
             _FLOW_HALO_CACHE.pop(next(iter(_FLOW_HALO_CACHE)))

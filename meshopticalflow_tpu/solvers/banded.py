@@ -381,24 +381,28 @@ class BandedCholeskySolver:
 # Banded-preconditioned PCG: the shift-invert inner solver
 # ----------------------------------------------------------------------------
 
+def _bpcg_step(cols, vals, dinv, pbelow, perm, inv_perm, n: int, s):
+    """One banded-preconditioned PCG step; the SINGLE definition used by
+    both the solver chunks and the contraction probe (so the probe always
+    measures exactly the iteration it sizes)."""
+    x, r, z, p, rz = s
+    ap = jnp.sum(vals * p[cols], axis=1)
+    pap = jnp.vdot(p, ap)
+    alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
+    x = x + alpha * p
+    r = r - alpha * ap
+    z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
+    rz_new = jnp.vdot(r, z)
+    beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+    p = z + beta * p
+    return (x, r, z, p, rz_new)
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "n"))
 def _bpcg_chunk(cols, vals, dinv, pbelow, perm, inv_perm, x, r, z, p, rz,
                 iters: int, n: int):
-    def matvec(v):
-        return jnp.sum(vals * v[cols], axis=1)
-
     def body(_, s):
-        x, r, z, p, rz = s
-        ap = matvec(p)
-        pap = jnp.vdot(p, ap)
-        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
-        rz_new = jnp.vdot(r, z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return (x, r, z, p, rz_new)
+        return _bpcg_step(cols, vals, dinv, pbelow, perm, inv_perm, n, s)
 
     x, r, z, p, rz = lax.fori_loop(0, iters, body, (x, r, z, p, rz))
     return x, r, z, p, rz, jnp.vdot(r, r)
@@ -415,21 +419,9 @@ def bpcg_probe(cols, vals, dinv, pbelow, perm, inv_perm, b, iters: int,
     per iteration) but degrades with band truncation or diagonal shifts,
     so fixed-trip inner solves are sized from this probe instead of a
     worst-case constant."""
-    def matvec(v):
-        return jnp.sum(vals * v[cols], axis=1)
-
     def body(s, _):
-        x, r, z, p, rz = s
-        ap = matvec(p)
-        pap = jnp.vdot(p, ap)
-        alpha = jnp.where(pap != 0, rz / jnp.where(pap != 0, pap, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = band_solve_panels(dinv, pbelow, perm, inv_perm, r, n).astype(r.dtype)
-        rz_new = jnp.vdot(r, z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return (x, r, z, p, rz_new), jnp.vdot(r, r)
+        s = _bpcg_step(cols, vals, dinv, pbelow, perm, inv_perm, n, s)
+        return s, jnp.vdot(s[1], s[1])
 
     z0 = band_solve_panels(dinv, pbelow, perm, inv_perm, b, n).astype(b.dtype)
     state0 = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0))

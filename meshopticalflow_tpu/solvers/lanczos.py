@@ -222,7 +222,8 @@ class ShiftInvertPack(NamedTuple):
 
 
 def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
-                       inner: str = "banded") -> ShiftInvertPack:
+                       inner: str = "banded",
+                       tol: float = 1e-9) -> ShiftInvertPack:
     # EXACT sigma*M on the ELL layout: M = P^T diag(g*area) P shares the
     # R D P sparsity that finalize_basis already unions into ell_cols, so
     # its entries assemble through the same dt_slots scatter
@@ -246,10 +247,13 @@ def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
         # Size the fused fixed-trip inner solves from the MEASURED
         # contraction of the banded preconditioner on this system: probe a
         # random rhs, take the median per-iteration ||r||^2 ratio over the
-        # converging prefix, and pick the count that reaches 1e-9 relative
-        # residual. Near-exact factors (RCM band covers the pattern) land
-        # at ~6-10 iterations; truncated or shift-perturbed factors degrade
-        # gracefully toward the 48 cap.
+        # converging prefix, and pick the count that reaches the caller's
+        # ``tol`` (relative residual). Near-exact factors (RCM band covers
+        # the pattern) land at ~6-10 iterations. A factor too weak to
+        # reach tol within the 48-trip cap stores inner_iters=0: the
+        # caller must NOT use the fixed-trip fused path and falls back to
+        # the tolerance-driven per-step solves instead (the fused path has
+        # no residual check to catch an under-solve).
         from meshopticalflow_tpu.solvers.banded import bpcg_probe
         probe_rhs = jnp.asarray(
             np.random.default_rng(12345).normal(size=bsolver.pat.n),
@@ -260,11 +264,14 @@ def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
                        probe_rhs, 12, bsolver.pat.n), np.float64), 1e-300)
         live = hist > hist[0] * 1e-17  # exclude the f32 stagnation floor
         ratios = (hist[1:] / hist[:-1])[live[1:]]
-        if len(ratios):
-            rho2 = float(np.median(ratios))
-            if rho2 < 0.5:
-                inner_iters = int(np.ceil(np.log(1e-18) / np.log(rho2)))
-        inner_iters = max(6, min(48, inner_iters + 2))  # +2 safety margin
+        rho2 = float(np.median(ratios)) if len(ratios) else 1.0
+        target = float(min(tol, 1e-9)) ** 2   # ||r||^2 target
+        if rho2 < 1.0:
+            needed = int(np.ceil(np.log(target)
+                                 / np.log(max(rho2, 1e-30)))) + 2
+        else:
+            needed = 10 ** 9   # no contraction measured
+        inner_iters = max(6, needed) if needed <= 48 else 0
     return ShiftInvertPack(sys_vals, diag, bsolver, inner_iters)
 
 
@@ -287,7 +294,8 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
     n = basis.n_coeffs
     dtype = basis.s_vals.dtype
     if pack is None:
-        pack = _shift_invert_pack(basis, mass_blocks, sigma, inner)
+        pack = _shift_invert_pack(basis, mass_blocks, sigma, inner,
+                                  tol=cg_tol)
     sys_vals, diag, bsolver = pack.sys_vals, pack.diag, pack.bsolver
 
     def inner_solve(bb):
@@ -307,12 +315,17 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
     v_prev = jnp.zeros(n, dtype)
     beta_prev = jnp.asarray(0.0, dtype)
 
-    if bsolver is not None:
+    import os as _os
+    _env = _os.environ.get("MESHFLOW_SPECTRUM_INNER_ITERS")
+    _env_iters = int(_env) if _env else 0
+    inner_iters = _env_iters if _env_iters > 0 else min(pack.inner_iters,
+                                                        cg_max_iters)
+    if bsolver is not None and inner_iters > 0:
         # Fused fast path: blocks of <=64 full Lanczos steps per dispatch,
-        # zero mid-run fetches (see _lanczos_banded_block).
-        import os as _os
-        _env = _os.environ.get("MESHFLOW_SPECTRUM_INNER_ITERS")
-        inner_iters = int(_env) if _env else pack.inner_iters
+        # zero mid-run fetches (see _lanczos_banded_block). Only taken
+        # when the probe sized a trip count that reaches tolerance
+        # (pack.inner_iters > 0); weak factors use the tolerance-driven
+        # per-step solves below instead.
         alphas_d = jnp.zeros(m, dtype)
         betas_d = jnp.zeros(m, dtype)
         j0 = 0
@@ -422,7 +435,7 @@ def compute_spectrum(
     import sys as _sys0
     import time as _time0
     _t_pack = _time0.time()
-    pack = (_shift_invert_pack(basis, mass_blocks, sigma_eff)
+    pack = (_shift_invert_pack(basis, mass_blocks, sigma_eff, tol=cg_tol)
             if host_stepped else None)
     if _os0.environ.get("MESHFLOW_SPECTRUM_DEBUG") and pack is not None:
         print(f"[spectrum] shift-invert pack built in "
@@ -475,17 +488,22 @@ def compute_spectrum(
                   flush=True)
         # Once k pairs are accepted, further restarts only CONFIRM that the
         # deflated pencil hides nothing below the current k-th eigenvalue.
-        # Lanczos surfaces extreme eigenvalues of the deflated shift-invert
-        # operator first — exactly where a missed degenerate copy would
-        # appear — so a short subspace suffices; a full-m confirmation
-        # doubled the demo solve (18 s of 44). If the short run surfaces a
-        # sub-k-th near-miss, the break below defers to a full restart.
+        # A copy only counts as MISSED if its eigenvalue sits meaningfully
+        # below the kept k-th (the near-miss test below uses a 1e-6
+        # relative margin) — and such a copy is, by construction, the
+        # DOMINANT eigenvalue of the deflated shift-invert operator with a
+        # real spectral gap over everything kept, which Lanczos surfaces
+        # within a few dozen steps to far better than the 1e-1 near-miss
+        # bar. So a short subspace suffices (a full-m confirmation doubled
+        # the demo solve: 18 s of 44); if the short run DOES surface a
+        # sub-k-th near-miss, the break below defers to a full-depth
+        # seeded restart that converges it.
         _confirm = len(accepted) >= k
         if _confirm and near_miss is not None:
             _kth0 = np.sort(np.array(accepted_lams))[k - 1]
             if near_miss_lam <= _kth0 * (1 - 1e-6):
                 _confirm = False   # pending missed copy: full-depth restart
-        m_r = m if not _confirm else min(m, max(32, k + 8))
+        m_r = m if not _confirm else min(m, max(32, k + 16))
         # Fixed-shape deflation block (compile once); grows in steps of 8
         # when acceptance overshoots k (degenerate clusters straddling the
         # cut can accept past k).
@@ -699,7 +717,8 @@ def compute_spectrum(
             sig = jnp.asarray(sigma_eff, dtype)
             adiag = s_diag + sig * _mass_diag(basis, mass_blocks)
             if host_stepped:
-                pack = _shift_invert_pack(basis, mass_blocks, sigma_eff)
+                pack = _shift_invert_pack(basis, mass_blocks, sigma_eff,
+                                          tol=cg_tol)
             continue
         # A pending near-miss seed is progress (the next restart
         # refines it), even when nothing was accepted this round.

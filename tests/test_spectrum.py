@@ -228,3 +228,39 @@ def test_bpcg_probe_trajectory_decreases():
     assert hist.shape == (9,)
     # strong contraction on the converging prefix (near-exact factor)
     assert hist[1] < hist[0] * 1e-2
+
+
+def test_weak_factor_falls_back_to_tolerance_driven_inner():
+    """A pack with inner_iters=0 (the probe's 'factor too weak for
+    fixed-trip solves' sentinel) must route _lanczos_host through the
+    tolerance-driven per-step inner solves and still produce a valid
+    M-orthonormal Lanczos basis."""
+    from meshopticalflow_tpu.solvers.lanczos import (_lanczos_host,
+                                                     _mass_matvec,
+                                                     _shift_invert_pack)
+
+    tris, verts = make_sphere_mesh(1)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    pack = _shift_invert_pack(basis, mass, 1e-3)
+    assert pack.inner_iters > 0  # near-exact factor on this mesh
+    weak = pack._replace(inner_iters=0)
+    n = host.n_coeffs
+    rng = np.random.default_rng(0)
+    m = 12
+    defl = jnp.zeros((2, n))
+    big_v, alphas, betas = _lanczos_host(
+        basis, mass, jnp.asarray(1e-3), jnp.asarray(rng.normal(size=n)),
+        defl, defl, m, 1e-12, 2000, pack=weak)
+    alphas = np.asarray(alphas)
+    betas = np.asarray(betas)
+    assert np.isfinite(alphas).all() and np.isfinite(betas).all()
+    assert (betas[: m - 1] > 0).all()
+    # M-orthonormality of the basis
+    v = np.asarray(big_v, np.float64)
+    mv = np.stack([np.asarray(_mass_matvec(basis, mass, jnp.asarray(row)))
+                   for row in v])
+    gram = v @ mv.T
+    np.testing.assert_allclose(gram, np.eye(m), atol=1e-8)
