@@ -290,8 +290,12 @@ def _trace_pair(tm: TraceMesh, tfield, dtype_probe, min_step, max_steps):
                             with_diagnostics=True)
 
 
-@jax.jit
-def _dataterm_from_samples(arrays: ProblemArrays, smoothed, t1, p1):
+def _advected_vertex_signals(arrays: ProblemArrays, smoothed, t1, p1):
+    """Shared resample stage: sample both smoothed signals at the advected
+    barycenter endpoints (t1, p1) — first half marched -1/2, second +1/2 —
+    and push the per-triangle values back to vertices by segment mean
+    (ResampleSignal, OpticalFlow.cpp:197-260).  Returns (V, 2C): columns
+    [:C] = signal 0 advected forward, [C:] = signal 1 advected backward."""
     c = arrays.signals.shape[1] // 2
     t_count = arrays.tm.n_triangles
     sampled = sample_vertex_signal(arrays.tm.triangles, smoothed, t1, p1)
@@ -302,7 +306,13 @@ def _dataterm_from_samples(arrays: ProblemArrays, smoothed, t1, p1):
                               num_segments=smoothed.shape[0])
     counts = jax.ops.segment_sum(jnp.ones_like(flat_idx, smoothed.dtype), flat_idx,
                                  num_segments=smoothed.shape[0])
-    resampled = out / jnp.maximum(counts, 1.0)[:, None]
+    return out / jnp.maximum(counts, 1.0)[:, None]
+
+
+@jax.jit
+def _dataterm_from_samples(arrays: ProblemArrays, smoothed, t1, p1):
+    c = arrays.signals.shape[1] // 2
+    resampled = _advected_vertex_signals(arrays, smoothed, t1, p1)
     res0, res1 = resampled[:, :c], resampled[:, c:]
     d_blocks, rhs_t = data_term_blocks(arrays.tm.triangles, arrays.area, res0, res1)
     diff = res1 - res0
@@ -347,17 +357,7 @@ def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
     """The advected comparison signals as per-vertex fields (V, 2C) — the
     ``resampled`` arrays the reference dumps under --debug
     (OpticalFlow.cpp:458-465)."""
-    c = arrays.signals.shape[1] // 2
-    t_count = arrays.tm.n_triangles
-    sampled = sample_vertex_signal(arrays.tm.triangles, smoothed, t1, p1)
-    from meshopticalflow_tpu.utils.compat import concat_columns
-    both = concat_columns(sampled[:t_count, :c], sampled[t_count:, c:])
-    flat_idx = arrays.tm.triangles.ravel()
-    out = jax.ops.segment_sum(jnp.repeat(both, 3, axis=0), flat_idx,
-                              num_segments=smoothed.shape[0])
-    counts = jax.ops.segment_sum(jnp.ones_like(flat_idx, smoothed.dtype), flat_idx,
-                                 num_segments=smoothed.shape[0])
-    return out / jnp.maximum(counts, 1.0)[:, None]
+    return _advected_vertex_signals(arrays, smoothed, t1, p1)
 
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
