@@ -85,9 +85,25 @@ def compare(ref_dir="/tmp/parity2k", ours_dir="/tmp/parity2k/ours"):
     return out
 
 
+def check(ref_dir="/tmp/parity2k", ours_dir="/tmp/parity2k/ours"):
+    """Assert the PARITY_2K.json thresholds on fresh artifacts (the former
+    perpetually-skipped test_golden test; CI texture parity now lives in
+    the committed 256^2 fixture, test_golden_texture_cube_256)."""
+    out = compare(ref_dir, ours_dir)
+    assert out["result_rmse_255"] < 1.0
+    assert out["result_frac_within_1"] > 0.995
+    assert out["vertex_match_max_dist"] < 1e-6
+    for lvl, errs in out["resampled_rmse_255"].items():
+        for tag, rmse in errs.items():
+            assert rmse < 0.1, (lvl, tag, rmse)
+    print("parity2k check: PASS")
+
+
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "compare"
     if phase == "ours":
         run_ours(*sys.argv[2:3])
+    elif phase == "check":
+        check(*sys.argv[2:4])
     else:
         compare(*sys.argv[2:4])

@@ -89,28 +89,29 @@ def test_golden_texture_cube(tmp_path):
     assert exact > 0.95, f"texture golden drifted: exact-pixel fraction {exact:.4f}"
 
 
-import os
+def test_golden_texture_cube_256(tmp_path):
+    """Mid-size (256^2 atlas, 1,538-vertex subdivided cube) texture-mode
+    golden vs the reference binary (VERDICT r3 next #5) — CI-pins the full
+    atlas path (rasterizer, dilation, exp-remap, advection, blend) at a
+    scale where chart interiors dominate seams. Fixture provenance:
+    scripts/make_golden_midsize.py (measured at creation: RMSE 1.70/255,
+    99.1% exact pixels, 99.9% within +-1; the diff is confined to chart-seam
+    texels -- rasterizer tie-break territory, as at 64^2).
 
-import pytest
-
-
-@pytest.mark.skipif(
-    not (os.path.exists("/tmp/parity2k/ref_result_2048.png")
-         and os.path.exists("/tmp/parity2k/ours/result_2048.png")),
-    reason="2K parity artifacts not present (see scripts/parity2k.py)")
-def test_parity_2k_vs_reference_binary():
-    """North-star-scale parity vs the rebuilt reference binary (VERDICT r2
-    next #6): 2048^2 result PNGs within RMSE 1/255 and per-level resampled
-    signals within 0.1/255 after geometric vertex matching. The measured
-    values (RMSE 0.152, levels 0.011-0.027) are pinned in PARITY_2K.json."""
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from scripts.parity2k import compare
-
-    out = compare()
-    assert out["result_rmse_255"] < 1.0
-    assert out["result_frac_within_1"] > 0.995
-    assert out["vertex_match_max_dist"] < 1e-6
-    for lvl, errs in out["resampled_rmse_255"].items():
-        for tag, rmse in errs.items():
-            assert rmse < 0.1, (lvl, tag, rmse)
+    North-star-scale (2048^2) parity is measured out-of-CI by
+    scripts/parity2k.py and pinned in PARITY_2K.json (RMSE 0.152/255,
+    99.99% within +-1)."""
+    from meshopticalflow_tpu.io.png import read_png_rgb
+    out = str(tmp_path / "out.png")
+    r = _run_cli(["--mesh", os.path.join(GOLD, "cube.ply"),
+                  "--in", os.path.join(GOLD, "mA.png"), os.path.join(GOLD, "mB.png"),
+                  "--out", out, "--eLength", "0.06", "--dtype", "float64"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ours = read_png_rgb(out).astype(float)
+    ref = read_png_rgb(os.path.join(GOLD, "ref_cube256.png")).astype(float)
+    rmse = float(np.sqrt(((ours - ref) ** 2).mean()))
+    exact = float((ours == ref).all(-1).mean())
+    within1 = float((np.abs(ours - ref) <= 1).all(-1).mean())
+    assert rmse < 2.2, f"256^2 texture golden drifted: rmse {rmse:.3f}"
+    assert exact > 0.97, f"exact-pixel fraction {exact:.4f}"
+    assert within1 > 0.995, f"within-1 fraction {within1:.4f}"
