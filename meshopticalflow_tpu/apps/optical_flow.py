@@ -22,10 +22,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="OpticalFlow",
         description="Halfway optical-flow alignment of signals on a mesh surface (TPU)")
-    p.add_argument("--in", dest="inputs", nargs=2, metavar=("A", "B"), required=True,
+    p.add_argument("--in", dest="inputs", nargs=2, metavar=("A", "B"),
                    help="input textures (.ply pair or .png pair)")
     p.add_argument("--mesh", help="input geometry (.ply); switches to texture mode")
     p.add_argument("--out", help="output file (.ply or .png)")
+    p.add_argument("--serve", action="store_true",
+                   help="persistent worker: read JSON job lines from stdin "
+                        "({\"in\": [A, B], \"out\": ..., optional flags}), "
+                        "print one JSON result line per job; jit/artifact "
+                        "caches amortize across jobs")
     add_alignment_flags(p)
     return p
 
@@ -93,20 +98,11 @@ def config_from_args(args) -> FlowConfig:
     )
 
 
-def main(argv=None) -> int:
-    from meshopticalflow_tpu.utils.compat import honor_platform_env
-    honor_platform_env()
-    args = build_parser().parse_args(argv)
-    config = config_from_args(args)
-
-    # Multi-process runs: no-op unless a coordinator is configured
-    # (MESHFLOW_COORDINATOR / JAX_COORDINATOR_ADDRESS, parallel/distributed.py);
-    # then the pipeline shards over the GLOBAL device mesh.
-    from meshopticalflow_tpu.parallel.distributed import (global_device_mesh,
-                                                          maybe_init_distributed)
-
-    device_mesh = global_device_mesh() if maybe_init_distributed() else None
-
+def _run_one(args, config, device_mesh):
+    """Load inputs, run all levels, write the output. Shared by the one-shot
+    path and the --serve job loop (the loop amortizes this process's jit and
+    per-mesh artifact caches across jobs, like track_sequence does across
+    frame pairs)."""
     from meshopticalflow_tpu.flow.pipeline import FlowProblem
 
     if args.mesh:
@@ -118,17 +114,102 @@ def main(argv=None) -> int:
     if args.verbose:
         print(f"Vertices / Triangles: {problem.mesh.n_vertices} / {problem.mesh.n_triangles}")
     if not args.out:
-        # Reference behavior: no --out launches the viewer
-        # (OpticalFlow.cpp:1072-1092). The TPU rebuild's substitute
-        # (viz/surface.py) steps levels interactively under a display and
-        # writes per-level frames headlessly.
         from meshopticalflow_tpu.viz import view_flow
         view_flow(problem, out_dir=".")
-        return 0
+        return None
     result = problem.run(verbose=args.verbose,
                          debug_dir="." if args.debug else None)
     problem.write_output(args.out)
-    if args.error:
+    return result
+
+
+def serve(base_args, device_mesh) -> int:
+    """Persistent-worker loop (VERDICT r3 next #7): one JSON job per stdin
+    line — {"in": [A, B], "out": PATH, "mesh": PATH?, ...flag overrides} —
+    one JSON result line per job on stdout. A single process keeps the jit
+    cache, per-mesh artifact caches, and the device context warm, so
+    repeated small solves skip the ~5 s import + ~1 s trace cost of a fresh
+    CLI (BASELINE.md per-vertex row). EOF or {"cmd": "quit"} exits."""
+    import time
+
+    parser = build_parser()
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            job = json.loads(line)
+        except json.JSONDecodeError as exc:
+            print(json.dumps({"error": f"bad job line: {exc}"}), flush=True)
+            continue
+        if job.get("cmd") == "quit":
+            break
+        try:
+            argv = []
+            for key, val in job.items():
+                if key == "cmd":
+                    continue
+                flag = "--" + ("in" if key == "inputs" else key)
+                if isinstance(val, bool):
+                    if val:
+                        argv.append(flag)
+                elif isinstance(val, (list, tuple)):
+                    argv.extend([flag, *map(str, val)])
+                else:
+                    argv.extend([flag, str(val)])
+            try:
+                args = parser.parse_args(argv,
+                                         namespace=_clone_namespace(base_args))
+            except SystemExit:   # argparse error()s exit; keep serving
+                raise ValueError(f"bad job flags: {argv}")
+            if not args.inputs or not args.out:
+                raise ValueError("job needs \"in\" and \"out\"")
+            t0 = time.time()
+            result = _run_one(args, config_from_args(args), device_mesh)
+            rec = {"out": args.out, "seconds": round(time.time() - t0, 2)}
+            if result is not None and result.metrics:
+                rec["alignment_error"] = float(
+                    result.metrics[-1]["alignment_error"])
+            print(json.dumps(rec), flush=True)
+        except Exception as exc:   # report per-job, keep serving
+            print(json.dumps({"error": f"{type(exc).__name__}: {exc}"}),
+                  flush=True)
+    return 0
+
+
+def _clone_namespace(args) -> argparse.Namespace:
+    ns = argparse.Namespace()
+    ns.__dict__.update(vars(args))
+    ns.serve = False
+    return ns
+
+
+def main(argv=None) -> int:
+    from meshopticalflow_tpu.utils.compat import honor_platform_env
+    honor_platform_env()
+    args = build_parser().parse_args(argv)
+    if not args.serve and not args.inputs:
+        build_parser().error("--in is required (unless --serve)")
+    config = config_from_args(args)
+
+    # Multi-process runs: no-op unless a coordinator is configured
+    # (MESHFLOW_COORDINATOR / JAX_COORDINATOR_ADDRESS, parallel/distributed.py);
+    # then the pipeline shards over the GLOBAL device mesh.
+    from meshopticalflow_tpu.parallel.distributed import (global_device_mesh,
+                                                          maybe_init_distributed)
+
+    device_mesh = global_device_mesh() if maybe_init_distributed() else None
+
+    if args.serve:
+        return serve(args, device_mesh)
+
+    # Reference behavior: no --out launches the viewer
+    # (OpticalFlow.cpp:1072-1092). The TPU rebuild's substitute
+    # (viz/surface.py) steps levels interactively under a display and
+    # writes per-level frames headlessly. _run_one handles both.
+    result = _run_one(args, config, device_mesh)
+    if args.error and result is not None:
         print(json.dumps({"alignment_error": result.metrics[-1]["alignment_error"]}))
     return 0
 

@@ -139,9 +139,12 @@ def _coarse_smooth_system(m0_vals, k0_vals, s_weight, diag_slot):
     return c_vals, c_diag
 
 
-def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
+def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight,
+                          force_dense: bool = False):
     """Multi-rhs Pallas MG solver for the vertex smoothing system; pattern
-    pack cached on the vcoarse handle (+ artifact disk cache)."""
+    pack cached on the vcoarse handle (+ artifact disk cache).
+    ``force_dense`` skips the banded c1 and builds the dense-patch-coarsest
+    variant — the fallback after a deferred BandedBreakdownError."""
     import scipy.sparse as sp
 
     from meshopticalflow_tpu.flow.signal import _smooth_system
@@ -175,6 +178,10 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
         vcoarse.diag_slot0 = slot0
     c_vals, c_diag = _coarse_smooth_system(vcoarse.m0_vals, vcoarse.k0_vals,
                                            s_weight, slot0)
+    if force_dense:
+        a2 = jnp.asarray(vpatch.m2_dense) + s_weight * jnp.asarray(vpatch.k2_dense)
+        return PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag,
+                                    a2), b
     c1_band = vcoarse.c1_band
     if c1_band is None:
         from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
@@ -184,9 +191,9 @@ def _vertex_pallas_solver(arrays: ProblemArrays, vcoarse, vpatch, s_weight):
         vcoarse.c1_band = c1_band
     solver = PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag, None,
                                   c1_band=c1_band)
-    if solver.c1_l_blocks is None:   # factorization breakdown: fall back
-        a2 = jnp.asarray(vpatch.m2_dense) + s_weight * jnp.asarray(vpatch.k2_dense)
-        solver = PallasMG3MultiSolver(pack, sys_vals, diag, c_vals, c_diag, a2)
+    # (a TOTAL factorization breakdown now surfaces lazily at the first
+    # solve fetch as BandedBreakdownError — _stage_smooth rebuilds with
+    # force_dense=True)
     return solver, b
 
 
@@ -220,6 +227,37 @@ def _smooth_bnorm2(signals, b, subkey) -> float:
     return entry[1]
 
 
+def _stage_smooth_pallas(arrays: ProblemArrays, config: FlowConfig, solver, b):
+    """The Pallas multi-rhs smoothing solve (split in halves past 8
+    channels); separated out so the deferred-banded-breakdown fallback can
+    redo the whole stage with a rebuilt solver."""
+    if b.shape[1] <= 8:
+        out, stats = solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
+                                  max_iters=min(config.cg_max_iters, 200),
+                                  b_norm2=_smooth_bnorm2(arrays.signals,
+                                                         b, "full"))
+        _LAST_SMOOTH_GB[0] = float(stats.iterations) * solver.gb_per_iter
+        return out, stats
+    # channels=6 (0<dogWeight<1) stacks 12 signal columns; the tile
+    # layout carries 8 per sublane pass — solve in two halves.
+    half = (b.shape[1] + 1) // 2
+    outs, total_iters, worst = [], 0, 0.0
+    for sl in (slice(0, half), slice(half, None)):
+        o, st = solver.solve(b[:, sl], x0=arrays.signals[:, sl],
+                             tol=config.cg_tol,
+                             max_iters=min(config.cg_max_iters, 200),
+                             b_norm2=_smooth_bnorm2(arrays.signals,
+                                                    b[:, sl], sl.start))
+        outs.append(o)
+        total_iters += int(st.iterations)
+        worst = max(worst, float(st.rel_residual))
+    from meshopticalflow_tpu.solvers.cg import CGStats
+    stats = CGStats(jnp.asarray(total_iters, jnp.int32),
+                    jnp.asarray(worst, b.dtype))
+    _LAST_SMOOTH_GB[0] = float(total_iters) * solver.gb_per_iter
+    return jnp.concatenate(outs, axis=1), stats
+
+
 def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
                   vcoarse=None, vpatch=None):
     _LAST_SMOOTH_GB[0] = None
@@ -227,32 +265,17 @@ def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if vcoarse is not None and vpatch is not None and backend == "pallas":
+        from meshopticalflow_tpu.solvers.pallas_mg import BandedBreakdownError
         solver, b = _vertex_pallas_solver(arrays, vcoarse, vpatch, s_weight)
-        if b.shape[1] <= 8:
-            out, stats = solver.solve(b, x0=arrays.signals, tol=config.cg_tol,
-                                      max_iters=min(config.cg_max_iters, 200),
-                                      b_norm2=_smooth_bnorm2(arrays.signals,
-                                                             b, "full"))
-            _LAST_SMOOTH_GB[0] = float(stats.iterations) * solver.gb_per_iter
-            return out, stats
-        # channels=6 (0<dogWeight<1) stacks 12 signal columns; the tile
-        # layout carries 8 per sublane pass — solve in two halves.
-        half = (b.shape[1] + 1) // 2
-        outs, total_iters, worst = [], 0, 0.0
-        for sl in (slice(0, half), slice(half, None)):
-            o, st = solver.solve(b[:, sl], x0=arrays.signals[:, sl],
-                                 tol=config.cg_tol,
-                                 max_iters=min(config.cg_max_iters, 200),
-                                 b_norm2=_smooth_bnorm2(arrays.signals,
-                                                        b[:, sl], sl.start))
-            outs.append(o)
-            total_iters += int(st.iterations)
-            worst = max(worst, float(st.rel_residual))
-        from meshopticalflow_tpu.solvers.cg import CGStats
-        stats = CGStats(jnp.asarray(total_iters, jnp.int32),
-                        jnp.asarray(worst, b.dtype))
-        _LAST_SMOOTH_GB[0] = float(total_iters) * solver.gb_per_iter
-        return jnp.concatenate(outs, axis=1), stats
+        try:
+            return _stage_smooth_pallas(arrays, config, solver, b)
+        except BandedBreakdownError:
+            # Deferred c1 check failed at every shift mid-solve: rebuild
+            # with the dense-patch coarsest (the pre-round-4 eager path's
+            # fallback) and redo the stage.
+            solver, b = _vertex_pallas_solver(arrays, vcoarse, vpatch,
+                                              s_weight, force_dense=True)
+            return _stage_smooth_pallas(arrays, config, solver, b)
     if vcoarse is not None:
         from meshopticalflow_tpu.flow.signal import _smooth_system
         sys_vals, b, diag = _smooth_system(arrays.smooth_ops, arrays.signals, s_weight)

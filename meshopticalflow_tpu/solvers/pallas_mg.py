@@ -375,23 +375,44 @@ def _cycle(fine_bf, f_invd, c1_bf, c1_invd, chol2, pack: MGPack, r_t, omega,
 
 
 def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag,
-                      bf16: bool = False):
+                      bf16: bool = False, defer_check: bool = False):
     """Factor the c1 system on its band layout and reblock into solve
-    panels. Returns (dinv, pbelow), or (None, None) on total breakdown
-    (caller falls back to the 3-level cycle).
+    panels. Returns (dinv, pbelow, ok_dev); (None, None, None) on total
+    breakdown (caller falls back to the 3-level cycle).
 
     ``bf16`` stores the solve panels in bfloat16: the banded factor is the
     single largest per-iteration stream of the exact-c1 MG cycle (two
     ~bw*n1 passes per outer PCG iteration, ~0.5 GB at the 2K bench shape),
     and as a PRECONDITIONER component a ~1e-2-accurate coarse solve is
     still far stronger than the Chebyshev fallback; iterative refinement
-    owns the trajectory either way. Factorization always runs f32."""
+    owns the trajectory either way. Factorization always runs f32.
+
+    ``defer_check=True`` skips the per-factorization ``bool(ok)`` host
+    fetch (~0.1-0.3 s over the tunnel, paid EVERY level by both the flow
+    and the smoothing solver): the shift-0 attempt is returned immediately
+    with ``ok_dev`` as an unfetched device scalar, and the solver
+    piggybacks the check onto its first chunk's r2 fetch — breakdown then
+    costs one escalating re-factorization exactly like the eager path,
+    while the (universal in production) success path saves the fetch."""
     from meshopticalflow_tpu.solvers.banded import (band_cholesky,
                                                     band_revalue,
                                                     build_solve_panels)
 
     s_blocks = band_revalue(c1_band.slots, c1_ell_vals,
                             c1_band.m, c1_band.nb, c1_band.bw, c1_band.n1)
+
+    def panels(l_blocks):
+        # Widest panel the band admits: S=1024 measured 6x faster per
+        # triangular solve than S=512 on the 60k/bw=1024 systems (the
+        # scan is latency-bound, so fewer+fatter steps win; panel
+        # memory doubles to ~0.5 GB f32 at bench scale).
+        k = max(1, min(8, c1_band.bw // c1_band.nb))
+        dinv, pbelow = build_solve_panels(l_blocks, k)
+        if bf16:
+            dinv = dinv.astype(jnp.bfloat16)
+            pbelow = pbelow.astype(jnp.bfloat16)
+        return dinv, pbelow
+
     # The shift scale is only needed after a FAILED first attempt — SPD
     # systems (every production level) succeed at shift 0, so fetching
     # max|diag| eagerly was a wasted host round trip per factorization.
@@ -402,18 +423,27 @@ def _factor_c1_panels(c1_band: BandedC1, c1_ell_vals, c1_diag,
         l_blocks, ok = band_cholesky(s_blocks,
                                      jnp.float32(rel * (dmax or 0.0)),
                                      c1_band.nb, c1_band.bw)
+        if rel == 0.0 and defer_check:
+            dinv, pbelow = panels(l_blocks)
+            return dinv, pbelow, ok
         if bool(ok):
-            # Widest panel the band admits: S=1024 measured 6x faster per
-            # triangular solve than S=512 on the 60k/bw=1024 systems (the
-            # scan is latency-bound, so fewer+fatter steps win; panel
-            # memory doubles to ~0.5 GB f32 at bench scale).
-            k = max(1, min(8, c1_band.bw // c1_band.nb))
-            dinv, pbelow = build_solve_panels(l_blocks, k)
-            if bf16:
-                dinv = dinv.astype(jnp.bfloat16)
-                pbelow = pbelow.astype(jnp.bfloat16)
-            return dinv, pbelow
-    return None, None
+            dinv, pbelow = panels(l_blocks)
+            return dinv, pbelow, ok
+    return None, None, None
+
+
+def _refactor_c1_checked(solver):
+    """Escalated (eager) re-factorization after a deferred shift-0 failure;
+    swaps the shifted factor into the solver or raises BandedBreakdownError
+    on total breakdown (callers rebuild with the 3-level fallback)."""
+    band, vals, diag, bf16 = solver._c1_factor_args
+    dinv, pbelow, _ = _factor_c1_panels(band, vals, diag, bf16=bf16)
+    if dinv is None:
+        solver.c1_dinv = None
+        solver.c1_pbelow = None
+        raise BandedBreakdownError(
+            "banded c1 factorization failed at every shift")
+    solver.c1_dinv, solver.c1_pbelow = dinv, pbelow
 
 
 def _band_from_args(t2b, b2t) -> BandedC1:
@@ -644,7 +674,7 @@ def _register_pack(pack: MGPack) -> int:
     return uid
 
 
-def _next_chunk(r2, threshold, rho, chunk: int) -> int:
+def _next_chunk(r2, threshold, rho, chunk: int, rho_fast=None) -> int:
     """Adaptive PCG chunk sizing. The exit test runs once per chunk (a host
     round trip), so a fixed chunk overshoots convergence by up to chunk-1
     iterations — measured 48 recorded vs ~30 needed per refinement round at
@@ -655,10 +685,17 @@ def _next_chunk(r2, threshold, rho, chunk: int) -> int:
     plus a small margin. Pure scheduling: the exit condition itself is
     unchanged, an undershoot just costs one more (small) chunk.
 
-    Sizes are quantized to {chunk, chunk/2, chunk/4} — the chunk length is
-    a STATIC argument of the jitted PCG programs, and compiles cost tens
-    of seconds on this backend (smaller chunks also raise the undershoot
-    odds, each costing a whole extra dispatch)."""
+    Sizes are quantized to {4*chunk, 2*chunk, chunk, chunk/2, chunk/4} —
+    the chunk length is a STATIC argument of the jitted PCG programs, and
+    compiles cost tens of seconds on this backend (smaller chunks also
+    raise the undershoot odds, each costing a whole extra dispatch).
+
+    Shrinking guards with the pessimistic ``rho`` (the worst observed —
+    undershoot costs a whole extra round trip). GROWING past ``chunk``
+    guards with the OPTIMISTIC ``rho_fast`` (the best observed): a grown
+    chunk only pays off if the solve needs at least that many iterations
+    even at the fastest observed contraction, else the surplus iterations
+    (~30 ms each) outweigh the ~0.1-0.3 s fetch they save."""
     import math
 
     if rho is None or not (0.0 < rho < 1.0) or r2 <= threshold or r2 <= 0:
@@ -666,12 +703,35 @@ def _next_chunk(r2, threshold, rho, chunk: int) -> int:
     # 1.3x + 3 safety margin: an undershoot costs a whole extra dispatch +
     # host fetch (~0.1-0.3 s on the tunneled runtime), an overshoot only
     # the surplus iterations (~30 ms each) — err long.
-    need = 1.3 * math.log(threshold / r2) / math.log(rho) + 3.0
+    log_gap = math.log(threshold / r2)
+    need = 1.3 * log_gap / math.log(rho) + 3.0
     for div in (4, 2):
         cand = max(chunk // div, 1)
         if cand >= need:
             return cand
+    if rho_fast is not None and 0.0 < rho_fast < 1.0:
+        need_fast = log_gap / math.log(rho_fast)
+        for mult in (4, 2):
+            if chunk * mult <= need_fast:
+                return chunk * mult
     return chunk
+
+
+# Most-recent solve's dispatch/fetch trail (observability): one record per
+# chunk fetch — (iters, seconds, r2_after). The pipeline and the level
+# profiler read it to attribute wall time to compute vs tunnel round trips.
+_LAST_TRAIL = {"factor_s": None, "chunks": [], "entry_s": None}
+
+
+class BandedBreakdownError(RuntimeError):
+    """The banded c1 factorization failed at every shift of the escalation
+    ladder (raised lazily at the first solve fetch under the deferred-check
+    protocol). Callers rebuild with the 3-level Jacobi+patch fallback."""
+
+
+@jax.jit
+def _stack_scalars(a, b):
+    return jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])
 
 
 def _update_rho(rho, r2_before, r2_after, iters: int):
@@ -684,6 +744,23 @@ def _update_rho(rho, r2_before, r2_after, iters: int):
         return rho
     new = (r2_after / r2_before) ** (1.0 / max(iters, 1))
     return new if rho is None else max(rho, new)
+
+
+def _update_rho_fast(rho_fast, r2_before, r2_after, iters: int):
+    """Companion BEST (smallest) observed contraction — the optimistic
+    bound _next_chunk uses to justify GROWING a chunk (see there)."""
+    if r2_before <= 0 or r2_after <= 0 or r2_after >= r2_before:
+        return rho_fast
+    new = (r2_after / r2_before) ** (1.0 / max(iters, 1))
+    return new if rho_fast is None else min(rho_fast, new)
+
+
+# Contraction estimates persisted across solver constructions, keyed by
+# (solver kind, pack uid): the level systems differ only in the data term
+# and the decayed smoothing weight, so level L+1's first chunk can be sized
+# from level L's measured contraction instead of a blind fixed chunk —
+# each saved chunk boundary is a ~0.1-0.3 s tunnel round trip.
+_RHO_BY_PACK: Dict[tuple, tuple] = {}
 
 
 class PallasMG3Solver:
@@ -708,9 +785,20 @@ class PallasMG3Solver:
         self.c1_band = c1_band
         self.c1_dinv = None
         self.c1_pbelow = None
+        self._c1_ok_dev = None
+        self._c1_factor_args = None
         if c1_band is not None:
-            self.c1_dinv, self.c1_pbelow = _factor_c1_panels(
-                c1_band, c1_ell_vals, c1_diag, bf16=c1_bf16)
+            import time as _time
+            _t0 = _time.time()
+            # Deferred ok-check: the success flag stays on device and rides
+            # the first chunk's r2 fetch (shift-0 success is universal on
+            # the production SPD systems; a failure costs one escalating
+            # re-factorization there, exactly like the old eager ladder).
+            self.c1_dinv, self.c1_pbelow, self._c1_ok_dev = _factor_c1_panels(
+                c1_band, c1_ell_vals, c1_diag, bf16=c1_bf16,
+                defer_check=True)
+            self._c1_factor_args = (c1_band, c1_ell_vals, c1_diag, c1_bf16)
+            _LAST_TRAIL["factor_s"] = round(_time.time() - _t0, 3)
             # on total breakdown fall back to the 3-level cycle (c1_dinv
             # stays None)
         dtype = jnp.float32
@@ -748,7 +836,9 @@ class PallasMG3Solver:
         self.omega = jnp.asarray(omega, dtype)
         self.nu = nu
         self._cheb_bounds = None
-        self._rho = None   # adaptive-chunk contraction estimate
+        # adaptive-chunk contraction estimates, carried across levels
+        self._rho, self._rho_fast = _RHO_BY_PACK.get(("s", self.pack_id),
+                                                     (None, None))
 
     @property
     def c1_l_blocks(self):
@@ -764,6 +854,42 @@ class PallasMG3Solver:
         Feeds the pipeline's effective-bandwidth level metric so bandwidth
         regressions show up without a profiler (VERDICT r2 weak #9)."""
         return _solver_gb_per_iter(self)
+
+    def solve_fixed(self, b, iters: int):
+        """Run EXACTLY ``iters`` PCG iterations from a zero start and
+        return x (natural order) WITHOUT any host fetch — the whole call
+        is async dispatches. The pipelined refinement (solvers/refine.py
+        fixed-schedule path) chains two of these around an on-device df32
+        residual so a full two-round level solve costs TWO host round
+        trips (entry + final check) instead of the adaptive loop's ~7
+        (round-4 dispatch economy; each fetch is ~0.1-0.3 s on the
+        tunneled runtime). Banded-exact path only; ``iters`` should come
+        from the {24, 48, 96} ladder so the chunk program is one of the
+        already-compiled shapes."""
+        if self.c1_dinv is None:
+            raise RuntimeError("solve_fixed requires the banded c1 path")
+        pack = self.pack
+        b_t = to_tiles(b.astype(jnp.float32), pack.fine_perm, pack.fine_nr)
+        x = jnp.zeros_like(b_t)
+        p = jnp.zeros_like(b_t)
+        rz = jnp.asarray(0.0, jnp.float32)
+        deg = self.cheb_fine_deg
+        if deg > 0 and self._fine_bounds is None:
+            lmax = _fine_lmax_impl(self.fine_bf.tile_cols,
+                                   self.fine_bf.vals_t,
+                                   self.f_invd, self.pack_id)
+            self._fine_bounds = (lmax / 8.0, lmax)
+        f_lmin, f_lmax = self._fine_bounds or (None, None)
+        x, _r, _p, _rz, _r2 = _pcg_chunk_banded_impl(
+            self.fine_f32.tile_cols, self.fine_f32.vals_t,
+            self.fine_bf.tile_cols, self.fine_bf.vals_t,
+            self.f_invd, self.c1_dinv, self.c1_pbelow,
+            self.c1_band.tile_to_band, self.c1_band.band_to_tile,
+            pack.p0.tile_cols, pack.p0.vals_t,
+            pack.p0t.tile_cols, pack.p0t.vals_t,
+            x, b_t, p, rz, self.omega, self.nu, iters, self.pack_id,
+            deg, f_lmin, f_lmax)
+        return from_tiles(x, pack.fine_inv_perm, pack.n_fine)
 
     def cheb_bounds(self):
         """(lmin, lmax) of the inner1-preconditioned coarse operator,
@@ -806,11 +932,18 @@ class PallasMG3Solver:
         done = 0
         r2 = b_norm2
         undershot = False
+        import time as _time
+        # Accumulate across solve() calls (refinement rounds); a "solve"
+        # marker separates rounds. Callers (profiler / level metrics) clear.
+        _chunks_trail = _LAST_TRAIL["chunks"]
+        _chunks_trail.append(("solve", round(float(tol), 10)))
         while done < max_iters and r2 > threshold:
+            _t0 = _time.time()
             # After a failed short-chunk prediction, go straight back to the
             # full chunk — the rho estimate was wrong for this system.
             iters = chunk if undershot \
-                else _next_chunk(r2, threshold, self._rho, chunk)
+                else _next_chunk(r2, threshold, self._rho, chunk,
+                                 self._rho_fast)
             iters = min(iters, max_iters - done)
             r2_before = r2
             if self.c1_dinv is not None:
@@ -841,9 +974,31 @@ class PallasMG3Solver:
                     pack.p12_idx_p, pack.p12_wt_p,
                     x, r, p, rz, self.omega, self.nu, iters, self.pack_id,
                     self.cheb_k, cheb_lmin, cheb_lmax)
-            r2 = float(r2_dev)
+            if self._c1_ok_dev is not None and self.c1_dinv is not None:
+                # Deferred factor check rides THIS (first) fetch — no
+                # extra round trip on the universal success path.
+                pair = np.asarray(_stack_scalars(r2_dev, self._c1_ok_dev))
+                r2, c1_ok = float(pair[0]), bool(pair[1] > 0)
+                self._c1_ok_dev = None
+                if not c1_ok:
+                    _refactor_c1_checked(self)   # raises on total breakdown
+                    # restart the solve under the shifted factor
+                    x = jnp.zeros_like(b_t) if x0 is None else \
+                        to_tiles(x0.astype(jnp.float32), pack.fine_perm,
+                                 pack.fine_nr)
+                    r = b_t if x0 is None else b_t - self.fine_f32.apply(x)
+                    p = jnp.zeros_like(b_t)
+                    rz = jnp.asarray(0.0, jnp.float32)
+                    done, r2, undershot = 0, b_norm2, False
+                    continue
+            else:
+                r2 = float(r2_dev)
             done += iters
+            _chunks_trail.append((iters, round(_time.time() - _t0, 3)))
             self._rho = _update_rho(self._rho, r2_before, r2, iters)
+            self._rho_fast = _update_rho_fast(self._rho_fast, r2_before, r2,
+                                              iters)
+            _RHO_BY_PACK[("s", self.pack_id)] = (self._rho, self._rho_fast)
             undershot = iters < chunk and r2 > threshold
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
         x_out = from_tiles(x, pack.fine_inv_perm, pack.n_fine).astype(b.dtype)
@@ -1014,9 +1169,12 @@ class PallasMG3MultiSolver:
         self.c1_band = c1_band
         self.c1_dinv = None
         self.c1_pbelow = None
+        self._c1_ok_dev = None
+        self._c1_factor_args = None
         if c1_band is not None:
-            self.c1_dinv, self.c1_pbelow = _factor_c1_panels(
-                c1_band, c1_ell_vals, c1_diag)
+            self.c1_dinv, self.c1_pbelow, self._c1_ok_dev = _factor_c1_panels(
+                c1_band, c1_ell_vals, c1_diag, defer_check=True)
+            self._c1_factor_args = (c1_band, c1_ell_vals, c1_diag, False)
         tc_f = tile_cols_dev(pack.fine_pat)
         vf32, vbf = _revalue_pair(pack.fine_slots, fine_ell_vals,
                                   pack.fine_pat.bucket_sizes)
@@ -1046,7 +1204,9 @@ class PallasMG3MultiSolver:
             raise ValueError("need a2_dense when no banded c1 factorization")
         self.omega = jnp.asarray(omega, jnp.float32)
         self.nu = nu
-        self._rho = None   # adaptive-chunk contraction estimate
+        # adaptive-chunk contraction estimates, carried across levels
+        self._rho, self._rho_fast = _RHO_BY_PACK.get(("m", self.pack_id),
+                                                     (None, None))
 
     @property
     def c1_l_blocks(self):
@@ -1093,7 +1253,8 @@ class PallasMG3MultiSolver:
         undershot = False
         while done < max_iters and r2 > threshold:
             iters = chunk if undershot \
-                else _next_chunk(r2, threshold, self._rho, chunk)
+                else _next_chunk(r2, threshold, self._rho, chunk,
+                                 self._rho_fast)
             iters = min(iters, max_iters - done)
             r2_before = r2
             if self.c1_dinv is not None:
@@ -1115,9 +1276,28 @@ class PallasMG3MultiSolver:
                     pack.p0t.tile_cols, pack.p0t.vals_t,
                     pack.p12_idx_p, pack.p12_wt_p,
                     x, r, p, rz, self.omega, self.nu, iters, self.pack_id)
-            r2 = float(r2_dev)
+            if self._c1_ok_dev is not None and self.c1_dinv is not None:
+                pair = np.asarray(_stack_scalars(r2_dev, self._c1_ok_dev))
+                r2, c1_ok = float(pair[0]), bool(pair[1] > 0)
+                self._c1_ok_dev = None
+                if not c1_ok:
+                    _refactor_c1_checked(self)   # raises on total breakdown
+                    x = jnp.zeros_like(b_t) if x0 is None else \
+                        to_tiles_multi(x0.astype(jnp.float32),
+                                       pack.fine_perm, pack.fine_nr)
+                    r = b_t if x0 is None else \
+                        b_t - _apply_multi(self.fine_f32, x)
+                    p = jnp.zeros_like(b_t)
+                    rz = jnp.zeros(8, jnp.float32)
+                    done, r2, undershot = 0, b_norm2, False
+                    continue
+            else:
+                r2 = float(r2_dev)
             done += iters
             self._rho = _update_rho(self._rho, r2_before, r2, iters)
+            self._rho_fast = _update_rho_fast(self._rho_fast, r2_before, r2,
+                                              iters)
+            _RHO_BY_PACK[("m", self.pack_id)] = (self._rho, self._rho_fast)
             undershot = iters < chunk and r2 > threshold
         rel = float(np.sqrt(max(r2, 0.0) / b_norm2))
         x_out = from_tiles_multi(x, pack.fine_inv_perm, pack.n_fine, c)

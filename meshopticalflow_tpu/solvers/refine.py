@@ -142,6 +142,71 @@ def _scale_vec(v, scale):
     return v / scale
 
 
+def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
+                           inner_solve=None, max_rounds: int = 5,
+                           inner_floor: float = 1e-6):
+    """Two-fetch refinement: run a KNOWN round schedule as one async
+    dispatch chain (round-4 dispatch economy).
+
+    ``inner_fixed(r_device, iters) -> e_device`` runs exactly ``iters``
+    PCG iterations with NO host fetch (PallasMG3Solver.solve_fixed).
+    ``schedule`` is the per-round iteration counts measured on an earlier
+    level of the same problem (the systems differ only in the data term,
+    so the counts transfer). The host enqueues
+
+        scale b -> PCG(n1) -> df32 residual(+scale, on device)
+                -> PCG(n2) -> ... -> final df32 residual stats
+
+    and fetches ONCE at the end. The df32 product materialization keeps
+    its own dispatch boundary (solvers/df32.py FMA-contraction contract) —
+    boundaries are free, host ROUND TRIPS are what this path removes
+    (~5 of the adaptive loop's ~7 per level, ~0.1-0.3 s each on the
+    tunneled runtime).
+
+    If the final residual misses ``tol``, falls back to the adaptive
+    ``_refine_loop_device`` seeded with the df32 iterate (needs
+    ``inner_solve`` as in refine_loop). Returns (x, stats, hit) where
+    ``hit`` says the schedule reached tol (callers un-pin the schedule
+    when it did not)."""
+    from meshopticalflow_tpu.solvers.df32 import (df_update,
+                                                  ell_residual_df,
+                                                  ell_residual_df_scaled)
+
+    vals_f32 = vals.astype(jnp.float32)
+    b_f32 = b.astype(jnp.float32)
+    stats0 = np.asarray(_vec_stats(b_f32))
+    b_norm2, b_max = float(stats0[0]), float(stats0[1])
+    if b_norm2 == 0:
+        return (jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                           jnp.asarray(0.0, b.dtype)), True)
+    b_norm = float(np.sqrt(b_norm2))
+    # Round 1: residual IS b; scale by max|b| (matches the adaptive path).
+    e = inner_fixed(_scale_vec(b_f32, jnp.float32(b_max or 1.0)),
+                    int(schedule[0]))
+    x_hi, x_lo = df_update(jnp.zeros_like(b_f32), jnp.zeros_like(b_f32),
+                           e, jnp.float32(b_max or 1.0))
+    total = int(schedule[0])
+    for n_k in schedule[1:]:
+        r_scaled, stats_mid = ell_residual_df_scaled(cols, vals_f32,
+                                                     x_hi, x_lo, b_f32)
+        e = inner_fixed(r_scaled, int(n_k))
+        # the scale reaches df_update as a DEVICE scalar — no fetch
+        x_hi, x_lo = df_update(x_hi, x_lo, e, stats_mid[1])
+        total += int(n_k)
+    _, _, stats_f = ell_residual_df(cols, vals_f32, x_hi, x_lo, b_f32)
+    rel = float(np.sqrt(max(float(np.asarray(stats_f)[0]), 0.0))) / b_norm
+    _LAST_ROUNDS[0] = [(int(n), None) for n in schedule]
+    if rel < max(tol, 1e-11):
+        return (x_hi.astype(b.dtype),
+                CGStats(jnp.asarray(total, jnp.int32),
+                        jnp.asarray(rel, b.dtype)), True)
+    # Schedule missed: mop up with the adaptive loop from this iterate.
+    x, stats = _refine_loop_device(cols, vals, b, inner_solve, tol,
+                                   max_rounds, inner_floor, x0=x_hi)
+    return (x, CGStats(stats.iterations + total, stats.rel_residual),
+            False)
+
+
 def _refine_loop_device(cols, vals, b, inner_solve, tol: float,
                         max_rounds: int, inner_floor: float, x0=None):
     """Device-resident refinement: x lives as a df32 (hi, lo) pair, the

@@ -73,6 +73,10 @@ def main():
         float(align_err)
         rec["resample_s"] = round(time.time() - t0, 2)
 
+        from meshopticalflow_tpu.solvers import pallas_mg
+        from meshopticalflow_tpu.solvers import refine as refine_mod
+        pallas_mg._LAST_TRAIL["chunks"] = []
+        pallas_mg._LAST_TRAIL["factor_s"] = None
         t0 = time.time()
         coeffs, tfield, cg_stats = _stage_solve(
             prob.arrays, coeffs, d_blocks, rhs_t,
@@ -80,6 +84,11 @@ def main():
         tfield.block_until_ready()
         rec["solve_s"] = round(time.time() - t0, 2)
         rec["flow_iters"] = int(cg_stats.iterations)
+        # Dispatch/fetch attribution: per-chunk (iters, seconds) with round
+        # markers, the banded factor time, and the refinement round trail.
+        rec["solve_trail"] = pallas_mg._LAST_TRAIL["chunks"]
+        rec["factor_s"] = pallas_mg._LAST_TRAIL["factor_s"]
+        rec["refine_rounds"] = refine_mod._LAST_ROUNDS[0]
         rec["align_err"] = float(align_err)
         print(json.dumps(rec), flush=True)
         s_weight *= cfg.scalar_weight_multiplier

@@ -166,3 +166,62 @@ sys.exit(main(["--in", "{tmp}/a.ply", "{tmp}/b.ply",
     a = read_triangle_mesh(str(out / "halfway_000.ply")).colors
     b = read_triangle_mesh(str(tmp_path / "single.ply")).colors
     np.testing.assert_array_equal(a, b)
+
+
+def test_optical_flow_serve_mode(vertex_pair, tmp_path):
+    """--serve persistent worker (VERDICT r3 next #7): two jobs through one
+    process's stdin loop; results match the one-shot CLI, the second job
+    reuses the warm jit cache, and a malformed job reports an error line
+    without killing the loop."""
+    import json
+
+    tmp = vertex_pair
+    code = ("import sys; sys.path.insert(0, %r)\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from meshopticalflow_tpu.apps.optical_flow import main\n"
+            "sys.exit(main(['--serve']))" % REPO)
+    # stderr -> DEVNULL: nobody drains it while this test blocks on stdout
+    # readlines, and jax/XLA warnings can fill the 64 KB pipe buffer and
+    # deadlock the worker mid-job (observed: the suite hung here).
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         env=dict(os.environ, JAX_PLATFORMS="cpu"),
+                         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                         stderr=subprocess.DEVNULL, text=True)
+    try:
+        assert json.loads(p.stdout.readline())["ready"] is True
+        jobs = [
+            {"in": [f"{tmp}/a.ply", f"{tmp}/b.ply"],
+             "out": str(tmp_path / "s1.ply"),
+             "iterations": 2, "dogWeight": 0, "dtype": "float64"},
+            {"bad": "job"},   # missing in/out -> error line, loop survives
+            {"in": [f"{tmp}/a.ply", f"{tmp}/b.ply"],
+             "out": str(tmp_path / "s2.ply"),
+             "iterations": 2, "dogWeight": 0, "dtype": "float64"},
+        ]
+        replies = []
+        for job in jobs:
+            p.stdin.write(json.dumps(job) + "\n")
+            p.stdin.flush()
+            replies.append(json.loads(p.stdout.readline()))
+        p.stdin.write('{"cmd": "quit"}\n')
+        p.stdin.flush()
+        assert p.wait(timeout=120) == 0
+    finally:
+        p.kill()
+    assert replies[0]["out"].endswith("s1.ply")
+    assert "error" in replies[1]
+    assert replies[2]["out"].endswith("s2.ply")
+    a = read_triangle_mesh(str(tmp_path / "s1.ply")).colors
+    b = read_triangle_mesh(str(tmp_path / "s2.ply")).colors
+    np.testing.assert_array_equal(a, b)
+
+    # serve results == the one-shot CLI on the same inputs/flags
+    r = _run(f"""
+from meshopticalflow_tpu.apps.optical_flow import main
+sys.exit(main(["--in", "{tmp}/a.ply", "{tmp}/b.ply",
+               "--out", "{tmp_path}/one.ply", "--iterations", "2",
+               "--dogWeight", "0", "--dtype", "float64"]))
+""")
+    assert r.returncode == 0, r.stderr[-2000:]
+    one = read_triangle_mesh(str(tmp_path / "one.ply")).colors
+    np.testing.assert_array_equal(a, one)

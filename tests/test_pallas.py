@@ -504,9 +504,16 @@ def test_pallas_mg3_banded_breakdown_falls_back(rng):
     cd_bad = -jnp.ones(n1, jnp.float32)
     broken = PallasMG3Solver(pack, sys_vals, fdiag, c_bad, cd_bad, None,
                              c1_band=band)
-    assert broken.c1_l_blocks is None   # breakdown detected, no raise
-    with _pytest.raises(RuntimeError):
+    # r4 deferred-check contract: construction does NOT fetch the ok flag
+    # (saves a tunnel round trip per level on the universal success path);
+    # the breakdown surfaces at the first solve fetch as
+    # BandedBreakdownError, and callers rebuild with the dense fallback.
+    from meshopticalflow_tpu.solvers.pallas_mg import BandedBreakdownError
+    assert broken.c1_l_blocks is not None     # deferred, not yet validated
+    assert broken._c1_ok_dev is not None
+    with _pytest.raises(BandedBreakdownError):
         broken.solve(rhs, max_iters=2)
+    assert broken.c1_l_blocks is None         # total breakdown recorded
 
 
 def test_adaptive_chunk_prediction():
@@ -531,3 +538,84 @@ def test_adaptive_chunk_prediction():
     assert r2 > r
     assert _update_rho(r2, 1.0, 2.0, 8) == r2   # residual grew: unchanged
     assert _update_rho(r2, 0.0, 1.0, 8) == r2   # degenerate: unchanged
+
+
+def test_refine_fixed_pipelined_schedule(rng):
+    """The round-4 two-fetch refinement path: a pinned round schedule
+    replayed as an async dispatch chain (solve_fixed + on-device df32
+    residual) reaches the adaptive loop's accuracy; an undersized schedule
+    reports hit=False and still converges through the adaptive fallback."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.geometry.mesh import build_mesh
+    from meshopticalflow_tpu.geometry.subdivide import subdivide_tracked
+    from meshopticalflow_tpu.models.base import (
+        build_basis, build_flow_system, coarse_system_vals)
+    from meshopticalflow_tpu.models.coarse import (build_coarse_space,
+                                                   build_patch_level)
+    from meshopticalflow_tpu.solvers.pallas_mg import (PallasMG3Solver,
+                                                       build_c1_band,
+                                                       build_mg_pack)
+    from meshopticalflow_tpu.solvers.refine import refine_fixed_pipelined
+    from tests.conftest import make_sphere_mesh
+
+    tris0, verts0 = make_sphere_mesh(2)
+    diag = float(np.linalg.norm(verts0.max(0) - verts0.min(0)))
+    uvs = np.zeros((len(tris0), 3, 2))
+    tris, verts, _, parent, bary = subdivide_tracked(tris0, verts0, uvs,
+                                                     0.3 * diag)
+    cfg = FlowConfig(dtype="float32", dog_weight=0.0)
+    fine_mesh = build_mesh(tris, vertices=verts)
+    coarse_mesh = build_mesh(tris0, vertices=verts0)
+    fine_host, fine_dev = build_basis(fine_mesh, cfg)
+    cs = build_coarse_space(cfg, fine_mesh, fine_host, coarse_mesh, parent,
+                            bary)
+    patch, _ = build_patch_level(cfg, coarse_mesh, cs, target_size=4)
+    t_f = fine_mesh.n_triangles
+    d = rng.normal(size=(t_f, 2, 2))
+    d_blocks = jnp.asarray(np.einsum("tab,tcb->tac", d, d) + 0.3 * np.eye(2),
+                           jnp.float32)
+    rhs_t = jnp.asarray(rng.normal(size=(t_f, 2)), jnp.float32)
+    lam = jnp.asarray(3e-4, jnp.float32)
+    sys_vals, _, rhs, fdiag, scale = build_flow_system(
+        fine_dev, d_blocks, rhs_t, lam)
+    c_vals, _ = coarse_system_vals(cs.coarse_dev, d_blocks, scale, lam)
+    n1 = cs.coarse_dev.ell_cols.shape[0]
+    c_diag = jnp.take_along_axis(
+        c_vals, jnp.argmax(cs.coarse_dev.ell_cols == jnp.arange(n1)[:, None],
+                           axis=1)[:, None], axis=1)[:, 0]
+    pack = build_mg_pack(np.asarray(fine_dev.ell_cols),
+                         np.asarray(cs.coarse_dev.ell_cols), cs.p0,
+                         np.asarray(patch.p12_idx), np.asarray(patch.p12_wt),
+                         int(patch.s2_dense.shape[0]), interpret=True)
+    band = build_c1_band(pack, np.asarray(cs.coarse_dev.ell_cols), nb=32)
+    solver = PallasMG3Solver(pack, sys_vals, fdiag, c_vals, c_diag, None,
+                             c1_band=band)
+    inner = lambda r, t, rn2=None: solver.solve(r, tol=max(t, 1e-7),
+                                                max_iters=120, b_norm2=rn2)
+    x, stats, hit = refine_fixed_pipelined(
+        fine_dev.ell_cols, sys_vals, rhs, solver.solve_fixed, (24, 24),
+        tol=3e-7, inner_solve=inner)
+    assert hit, float(stats.rel_residual)
+    assert float(stats.rel_residual) < 3e-7
+
+    n, w = fine_dev.ell_cols.shape
+    a = sp.csr_matrix((np.asarray(sys_vals, np.float64).ravel(),
+                       (np.repeat(np.arange(n), w),
+                        np.asarray(fine_dev.ell_cols).ravel())), shape=(n, n))
+    x_ref = spla.spsolve(a.tocsc(), np.asarray(rhs, np.float64))
+    rel = np.linalg.norm(np.asarray(x, np.float64) - x_ref) \
+        / np.linalg.norm(x_ref)
+    assert rel < 1e-4, rel
+
+    # Undersized schedule: misses tol, falls back, still converges.
+    x2, stats2, hit2 = refine_fixed_pipelined(
+        fine_dev.ell_cols, sys_vals, rhs, solver.solve_fixed, (2,),
+        tol=3e-7, inner_solve=inner)
+    assert not hit2
+    assert float(stats2.rel_residual) < 3e-7
+    rel2 = np.linalg.norm(np.asarray(x2, np.float64) - x_ref) \
+        / np.linalg.norm(x_ref)
+    assert rel2 < 1e-4, rel2
