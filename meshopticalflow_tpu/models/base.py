@@ -451,7 +451,21 @@ def update_optical_flow(
                         max_iters=min(cg_max_iters, 120), b_norm2=rn2),
                     inner_floor=refine_floor)
                 if not hit:
-                    _FLOW_SCHED.pop(("flow", solver.pack_id), None)
+                    # Later levels converge slower (measured: level 3 needs
+                    # ~120 iters where level 0 needed 96) — EXTEND the pin
+                    # with the fallback's measured mop-up rounds instead of
+                    # dropping it, so only the first slow level pays the
+                    # adaptive fetches. An unsalvageable miss un-pins.
+                    from meshopticalflow_tpu.solvers.refine import \
+                        _LAST_ROUNDS
+                    extra = tuple(_quantize_iters(int(n))
+                                  for n, _ in _LAST_ROUNDS[0])
+                    if (extra and len(sched) + len(extra) <= 4
+                            and float(stats.rel_residual) <= 1.5 * refine_tol):
+                        _FLOW_SCHED[("flow", solver.pack_id)] = \
+                            tuple(sched) + extra
+                    else:
+                        _FLOW_SCHED.pop(("flow", solver.pack_id), None)
                 return x, stats
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,
