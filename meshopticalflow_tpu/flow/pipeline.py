@@ -227,6 +227,13 @@ def _smooth_bnorm2(signals, b, subkey) -> float:
     return entry[1]
 
 
+def _format_rounds(rounds) -> str:
+    """Level-metric rendering of refinement rounds; rel is None for
+    pinned-schedule rounds (no per-round residual fetch by design)."""
+    return "; ".join(f"{it}@{rel:.1e}" if rel is not None else f"{it}@pinned"
+                     for it, rel in rounds)
+
+
 def _stage_smooth_pallas(arrays: ProblemArrays, config: FlowConfig, solver, b):
     """The Pallas multi-rhs smoothing solve (split in halves past 8
     channels); separated out so the deferred-banded-breakdown fallback can
@@ -460,8 +467,7 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     if _LAST_SMOOTH_GB[0] is not None:
         metrics["smooth_eff_gbps"] = _LAST_SMOOTH_GB[0] / max(_t1 - _t0, 1e-9)
     if _LAST_ROUNDS[0]:
-        metrics["flow_rounds"] = "; ".join(
-            f"{it}@{rel:.1e}" for it, rel in _LAST_ROUNDS[0])
+        metrics["flow_rounds"] = _format_rounds(_LAST_ROUNDS[0])
     return new_coeffs, new_tfield, metrics, resampled
 
 

@@ -209,3 +209,14 @@ def test_multiframe_texture_interpolation(tmp_path):
     np.testing.assert_allclose(frames[0, 0], np.flipud(texa.astype(np.float64)))
     np.testing.assert_allclose(frames[1, 0], np.flipud(texb.astype(np.float64)))
     assert np.isfinite(frames).all()
+
+
+def test_flow_rounds_metric_formats_pinned_rounds():
+    """The level metric formatter must accept pinned-schedule round records
+    (rel is None by design — no per-round residual fetch); a bench run
+    crashed on exactly this (round 4)."""
+    from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
+
+    from meshopticalflow_tpu.flow.pipeline import _format_rounds
+    assert _format_rounds([(48, None), (48, 1.6e-4)]) == \
+        "48@pinned; 48@1.6e-04"
