@@ -168,7 +168,9 @@ def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
     ``inner_solve`` as in refine_loop). Returns (x, stats, hit) where
     ``hit`` says the schedule reached tol (callers un-pin the schedule
     when it did not)."""
-    from meshopticalflow_tpu.solvers.df32 import (df_update,
+    import jax as _jax2
+
+    from meshopticalflow_tpu.solvers.df32 import (df32_mode, df_update,
                                                   ell_residual_df,
                                                   ell_residual_df_scaled)
 
@@ -180,19 +182,36 @@ def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
         return (jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
                                            jnp.asarray(0.0, b.dtype)), True)
     b_norm = float(np.sqrt(b_norm2))
-    # Round 1: residual IS b; scale by max|b| (matches the adaptive path).
-    e = inner_fixed(_scale_vec(b_f32, jnp.float32(b_max or 1.0)),
-                    int(schedule[0]))
-    x_hi, x_lo = df_update(jnp.zeros_like(b_f32), jnp.zeros_like(b_f32),
-                           e, jnp.float32(b_max or 1.0))
-    total = int(schedule[0])
-    for n_k in schedule[1:]:
-        r_scaled, stats_mid = ell_residual_df_scaled(cols, vals_f32,
-                                                     x_hi, x_lo, b_f32)
-        e = inner_fixed(r_scaled, int(n_k))
-        # the scale reaches df_update as a DEVICE scalar — no fetch
-        x_hi, x_lo = df_update(x_hi, x_lo, e, stats_mid[1])
-        total += int(n_k)
+    fused = (hasattr(inner_fixed, "__self__")
+             and hasattr(inner_fixed.__self__, "fixed_first_round"))
+    if fused:
+        # Fully fused rounds (PallasMG3Solver): 1 program for round 1,
+        # 2 per later round (products + residual/PCG/update) — host-side
+        # dispatch latency is ~50 ms each on the tunneled runtime, so the
+        # program count is itself a measurable slice of a 2 s solve.
+        solver = inner_fixed.__self__
+        mode = df32_mode(_jax2.default_backend())
+        x_hi, x_lo = solver.fixed_first_round(b_f32, b_max or 1.0,
+                                              int(schedule[0]))
+        total = int(schedule[0])
+        for n_k in schedule[1:]:
+            x_hi, x_lo = solver.fixed_next_round(cols, vals_f32, x_hi, x_lo,
+                                                 b_f32, int(n_k), mode)
+            total += int(n_k)
+    else:
+        # Generic path for inner solvers without the fused rounds.
+        e = inner_fixed(_scale_vec(b_f32, jnp.float32(b_max or 1.0)),
+                        int(schedule[0]))
+        x_hi, x_lo = df_update(jnp.zeros_like(b_f32), jnp.zeros_like(b_f32),
+                               e, jnp.float32(b_max or 1.0))
+        total = int(schedule[0])
+        for n_k in schedule[1:]:
+            r_scaled, stats_mid = ell_residual_df_scaled(cols, vals_f32,
+                                                         x_hi, x_lo, b_f32)
+            e = inner_fixed(r_scaled, int(n_k))
+            # the scale reaches df_update as a DEVICE scalar — no fetch
+            x_hi, x_lo = df_update(x_hi, x_lo, e, stats_mid[1])
+            total += int(n_k)
     _, _, stats_f = ell_residual_df(cols, vals_f32, x_hi, x_lo, b_f32)
     rel = float(np.sqrt(max(float(np.asarray(stats_f)[0]), 0.0))) / b_norm
     _LAST_ROUNDS[0] = [(int(n), None) for n in schedule]
