@@ -58,6 +58,15 @@ def _prolong_multi(basis: BasisDevice, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(y, (2, 0, 1))
 
 
+@jax.jit
+def _cand_from_krylov(big_v, y_pad, cut):
+    """Ritz candidates big_v[:cut].T @ y on device at a FIXED shape: rows
+    at or past ``cut`` are masked to zero (they may hold post-breakdown
+    inf/NaN), y_pad is zero there too."""
+    mask = (jnp.arange(big_v.shape[0]) < cut)[:, None]
+    return jnp.where(mask, big_v, 0).T @ y_pad
+
+
 def _mass_matvec_multi(basis: BasisDevice, mass_blocks: jnp.ndarray, x: jnp.ndarray):
     """M X for X (n, C): columnwise prolong/restrict."""
     y = jnp.einsum("tak,tkc->tac", basis.p_wt, x[basis.p_idx])
@@ -185,6 +194,155 @@ def _lanczos_banded_block(basis: BasisDevice, mass_blocks, sys_vals, dinv,
 
     carry = (big_v, big_mv, alphas, betas, v, beta_prev, v_prev)
     return lax.fori_loop(0, steps, body, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "inner_iters", "n",
+                                             "bs"))
+def _lanczos_banded_blockstep(basis: BasisDevice, mass_blocks, sys_vals,
+                              dinv, pbelow, perm, inv_perm, big_v, big_mv,
+                              a_blk, b_blk, defl_v, defl_mv, x_cur, b_prev,
+                              x_prev, j0, steps: int, inner_iters: int,
+                              n: int, bs: int):
+    """``steps`` BLOCK-Lanczos iterations (block size ``bs``) as one
+    dispatch. The single-vector recurrence's inner solves are pure panel-
+    scan LATENCY (the per-solve cost is flat in the column count up to the
+    sublane width — PERFORMANCE.md section 4), so solving ``bs`` right-hand
+    sides per step amortizes that latency ~bs-fold; block recurrences also
+    resolve degenerate clusters (the torus harmonics, the demo's repeated
+    pairs) inside ONE Krylov sequence instead of across seeded restarts.
+
+    Per step: multi-rhs mass matvec -> fixed-trip banded-PCG block solve ->
+    block coefficients A_j = (M X_j)^T W -> three-term recurrence -> full
+    M-reorthogonalization -> M-orthonormalization of the new block by
+    Cholesky QR (G = W^T M W = L L^T, X_{j+1} = W L^{-T}, B_{j+1} = L^T).
+    Coefficients accumulate ON DEVICE; breakdown (singular G) surfaces as
+    NaNs that the caller's post-hoc cut truncates — the same protocol as
+    the scalar block (``_lanczos_banded_block``)."""
+    from meshopticalflow_tpu.solvers.banded import (_bpcg_multi_chunk,
+                                                    band_solve_panels)
+
+    def body(t, carry):
+        big_v, big_mv, a_blk, b_blk, x_cur, b_prev, x_prev = carry
+        j = j0 + t
+        mx = _mass_matvec_multi(basis, mass_blocks, x_cur)    # (n, bs)
+        z = band_solve_panels(dinv, pbelow, perm, inv_perm, mx, n).astype(mx.dtype)
+        w, *_ = _bpcg_multi_chunk(basis.ell_cols, sys_vals, dinv, pbelow,
+                                  perm, inv_perm, jnp.zeros_like(mx), mx,
+                                  z, z, jnp.sum(mx * z, axis=0),
+                                  inner_iters, n)
+        row0 = (j * bs).astype(jnp.int32)
+        zero_i = jnp.asarray(0, jnp.int32)
+        big_v = lax.dynamic_update_slice(big_v, x_cur.T, (row0, zero_i))
+        big_mv = lax.dynamic_update_slice(big_mv, mx.T, (row0, zero_i))
+        a_j = mx.T @ w                                        # (bs, bs)
+        w = w - x_cur @ a_j - x_prev @ b_prev.T
+        for _ in range(2):
+            w = w - big_v.T @ (big_mv @ w)
+            w = w - defl_v.T @ (defl_mv @ w)
+        mw = _mass_matvec_multi(basis, mass_blocks, w)
+        g = w.T @ mw
+        g = (g + g.T) / 2
+        l_f = jnp.linalg.cholesky(g)
+        x_next = jax.scipy.linalg.solve_triangular(l_f, w.T, lower=True).T
+        b_next = l_f.T
+        a_blk = a_blk.at[j].set(a_j)
+        b_blk = b_blk.at[j].set(b_next)
+        return (big_v, big_mv, a_blk, b_blk, x_next, b_next, x_cur)
+
+    carry = (big_v, big_mv, a_blk, b_blk, x_cur, b_prev, x_prev)
+    return lax.fori_loop(0, steps, body, carry)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _block_init(basis: BasisDevice, mass_blocks, x0, defl_v, defl_mv):
+    """Deflate + M-orthonormalize the starting block (Cholesky QR)."""
+    x = x0 - defl_v.T @ (defl_mv @ x0)
+    mx = _mass_matvec_multi(basis, mass_blocks, x)
+    g = x.T @ mx
+    g = (g + g.T) / 2
+    # a tiny ridge keeps a rank-deficient random start factorable; the
+    # recurrence's own QR does NOT get one (its NaNs are the breakdown
+    # signal)
+    g = g + 1e-12 * jnp.trace(g) * jnp.eye(g.shape[0], dtype=g.dtype)
+    l_f = jnp.linalg.cholesky(g)
+    return jax.scipy.linalg.solve_triangular(l_f, x.T, lower=True).T
+
+
+def _lanczos_host_block(basis: BasisDevice, mass_blocks, x0, defl_v, defl_mv,
+                        m: int, pack: "ShiftInvertPack", bs: int = 4,
+                        m_alloc: int | None = None):
+    """Host-driven block Lanczos on the banded shift-invert operator.
+    Returns (big_v (m_alloc, n), t_mat (cut, cut) np.float64, cut) with the
+    block-tridiagonal matrix assembled and breakdown-truncated on host.
+    Dispatch blocks follow a {16, 8, 4} block-step ladder (x bs vectors)
+    so at most three shapes ever compile per deflation width."""
+    n = basis.n_coeffs
+    dtype = basis.s_vals.dtype
+    bsolver = pack.bsolver
+    q = -(-m // bs)
+    blocks = []
+    rem = q
+    while rem >= 16:
+        blocks.append(16)
+        rem -= 16
+    if rem > 12:
+        blocks.append(16)
+    elif rem > 8:
+        blocks.extend([8, 4])
+    elif rem > 4:
+        blocks.append(8)
+    elif rem > 0:
+        blocks.append(4)
+    q_pad = sum(blocks)
+    m_pad = q_pad * bs
+    m_alloc = max(m_alloc or 0, m_pad)
+    q_alloc = m_alloc // bs
+
+    x_cur = _block_init(basis, mass_blocks, x0, defl_v, defl_mv)
+    big_v = jnp.zeros((m_alloc, n), dtype)
+    big_mv = jnp.zeros((m_alloc, n), dtype)
+    a_blk = jnp.zeros((q_alloc, bs, bs), dtype)
+    b_blk = jnp.zeros((q_alloc, bs, bs), dtype)
+    b_prev = jnp.zeros((bs, bs), dtype)
+    x_prev = jnp.zeros((n, bs), dtype)
+    j0 = 0
+    for steps in blocks:
+        (big_v, big_mv, a_blk, b_blk, x_cur, b_prev,
+         x_prev) = _lanczos_banded_blockstep(
+            basis, mass_blocks, pack.sys_vals, bsolver.dinv, bsolver.pbelow,
+            bsolver.perm, bsolver.inv_perm, big_v, big_mv, a_blk, b_blk,
+            defl_v, defl_mv, x_cur, b_prev, x_prev,
+            jnp.asarray(j0, jnp.int32), steps, pack.inner_iters,
+            bsolver.pat.n, bs)
+        j0 += steps
+
+    a_h = np.asarray(a_blk, np.float64)
+    b_h = np.asarray(b_blk, np.float64)
+    # Post-hoc truncation, block granularity: stop before the first block
+    # with non-finite coefficients (QR breakdown propagates NaNs), an
+    # exhausted subspace (tiny B diagonal), or coefficient explosion
+    # (the semi-definite-M regime — see the scalar path's cut logic).
+    scale0 = float(np.median(np.abs(np.diagonal(a_h[0])))) + 1e-300
+    q_keep = 0
+    for j in range(q_pad):
+        if not (np.isfinite(a_h[j]).all() and np.isfinite(b_h[j]).all()):
+            break
+        if np.abs(a_h[j]).max() > 1e8 * scale0 \
+                or np.abs(b_h[j]).max() > 1e8 * scale0:
+            break
+        q_keep = j + 1
+        if np.abs(np.diagonal(b_h[j])).min() < 1e-14 * scale0:
+            break   # invariant subspace reached inside this block
+    q_keep = max(q_keep, 1)
+    cut = q_keep * bs
+    t_mat = np.zeros((cut, cut))
+    for j in range(q_keep):
+        d = (a_h[j] + a_h[j].T) / 2
+        t_mat[j * bs:(j + 1) * bs, j * bs:(j + 1) * bs] = d
+        if j + 1 < q_keep:
+            t_mat[(j + 1) * bs:(j + 2) * bs, j * bs:(j + 1) * bs] = b_h[j]
+            t_mat[j * bs:(j + 1) * bs, (j + 1) * bs:(j + 2) * bs] = b_h[j].T
+    return big_v, t_mat, cut
 
 
 # RCM band-pattern cache keyed by the ELL cols array identity, weakref-
@@ -405,6 +563,7 @@ def compute_spectrum(
     seed: int = 0,
     max_restarts: int | None = None,
     host_stepped: bool = False,
+    block: int = 4,
 ) -> SpectrumResult:
     """Lowest-k eigenpairs of S x = lambda M x (ComputeSpectrum,
     VectorLaplacianSpectrum.inl:5-41).
@@ -412,6 +571,12 @@ def compute_spectrum(
     Restarted deflated Lanczos: each restart deflates against the already
     accepted eigenvectors, which resolves degenerate clusters that a single
     Krylov sequence cannot (ARPACK's implicit restarts play the same role).
+
+    ``block`` > 1 (host-stepped banded path only) runs BLOCK Lanczos: the
+    single-rhs banded inner solves are panel-scan latency-bound, flat in
+    the column count up to the sublane width, so a block of 4 amortizes
+    the dominant per-step cost ~4x and resolves degenerate clusters within
+    one Krylov sequence (fewer seeded restarts).
     """
     n = basis.n_coeffs
     dtype = basis.s_vals.dtype
@@ -564,7 +729,20 @@ def compute_spectrum(
             near_miss = None
         else:
             v0 = jnp.asarray(rng.normal(size=n), dtype)
-        if host_stepped:
+        blocked = (host_stepped and block > 1 and pack is not None
+                   and pack.bsolver is not None and pack.inner_iters > 0)
+        if blocked:
+            x0_blk = jnp.asarray(
+                np.concatenate([np.asarray(v0, np.float64)[:, None],
+                                rng.normal(size=(n, block - 1))], axis=1),
+                dtype)
+            q_full = -(-m // block)
+            m_alloc_blk = block * (16 * (-(-q_full // 16)))
+            big_v, t_mat, cut = _lanczos_host_block(
+                basis, mass_blocks, x0_blk, jnp.asarray(defl_v, dtype),
+                jnp.asarray(defl_mv, dtype), m_r, pack, bs=block,
+                m_alloc=m_alloc_blk)
+        elif host_stepped:
             big_v, alphas, betas = _lanczos_host(
                 basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
                 jnp.asarray(defl_mv, dtype), m_r, cg_tol, cg_max_iters,
@@ -574,16 +752,22 @@ def compute_spectrum(
                 basis, mass_blocks, sig, v0, jnp.asarray(defl_v, dtype),
                 jnp.asarray(defl_mv, dtype), m_r, cg_tol, cg_max_iters)
         _tick("lanczos")
-        alphas = np.asarray(alphas, np.float64)
-        betas = np.asarray(betas, np.float64)
-        cut = m_r
+        if blocked:
+            alphas = betas = None   # the block path assembled t_mat itself
+        else:
+            alphas = np.asarray(alphas, np.float64)
+            betas = np.asarray(betas, np.float64)
+        cut = cut if blocked else m_r
         # Truncate at breakdown: tiny beta (invariant subspace reached) or a
         # non-finite coefficient (deflated recurrence divided by ~0) — NaNs
-        # past that point would silently poison every Ritz pair.
-        bad = np.nonzero(~np.isfinite(alphas) | ~np.isfinite(betas))[0]
+        # past that point would silently poison every Ritz pair. (The block
+        # path performed its truncation at block granularity already.)
+        bad = np.nonzero(~np.isfinite(alphas) | ~np.isfinite(betas))[0] \
+            if not blocked else []
         if len(bad):
             cut = min(cut, max(int(bad[0]), 1))
-        tiny = np.nonzero(betas[:max(cut - 1, 0)] < 1e-14)[0]
+        tiny = np.nonzero(betas[:max(cut - 1, 0)] < 1e-14)[0] \
+            if not blocked else []
         if len(tiny):
             cut = min(cut, int(tiny[0]) + 1)
         # Truncate at coefficient EXPLOSION: with a semi-definite M (the
@@ -594,54 +778,60 @@ def compute_spectrum(
         # pre-explosion prefix is a valid Lanczos run (Nour-Omid et al.'s
         # spectral-transformation analysis; the reference sidesteps it by
         # never running ARPACK anywhere near full subspace size).
-        scale0 = float(np.median(np.abs(alphas[:min(8, cut)]))) + 1e-300
-        grow = np.nonzero((np.abs(alphas[:cut]) > 1e8 * scale0)
-                          | (betas[:cut] > 1e8 * scale0))[0]
-        if len(grow):
-            cut = min(cut, max(int(grow[0]), 1))
-        t_mat = np.diag(alphas[:cut])
-        if cut > 1:
-            t_mat += np.diag(betas[:cut - 1], 1) + np.diag(betas[:cut - 1], -1)
+        if not blocked:
+            scale0 = float(np.median(np.abs(alphas[:min(8, cut)]))) + 1e-300
+            grow = np.nonzero((np.abs(alphas[:cut]) > 1e8 * scale0)
+                              | (betas[:cut] > 1e8 * scale0))[0]
+            if len(grow):
+                cut = min(cut, max(int(grow[0]), 1))
+            t_mat = np.diag(alphas[:cut])
+            if cut > 1:
+                t_mat += np.diag(betas[:cut - 1], 1) \
+                    + np.diag(betas[:cut - 1], -1)
         theta, y = np.linalg.eigh(t_mat)
         if _dbg:
             print(f"[spectrum]   cut={cut}/{m_r} theta_range="
-                  f"[{theta.min():.3g},{theta.max():.3g}] "
-                  f"beta_last={betas[max(cut - 1, 0)]:.3g}",
+                  f"[{theta.min():.3g},{theta.max():.3g}]",
                   file=_sys.stderr, flush=True)
         order = np.argsort(theta)[::-1]
         theta_sorted = theta[order]
         with np.errstate(divide="ignore"):
             lams_all = 1.0 / np.where(np.abs(theta_sorted) > 1e-300, theta_sorted, 1e-300) - sigma_eff
-        v_mat = np.asarray(big_v[:cut], np.float64).T
-        _tick("fetch big_v")
-        cand = (v_mat @ y[:, order]).T
-
+        # Ritz candidates assembled ON DEVICE: the Krylov block big_v never
+        # crosses the tunnel ((m, n) f32 is 19-77 MB at 8-60 MB/s measured
+        # d2h — it was the single largest spectrum stage), only the tiny
+        # (m_alloc, take_q) eigenvector matrix goes up. Rows of big_v past
+        # ``cut`` are zeros, and y is zero-padded to match, so the full-
+        # width matmul equals the [:cut] product at a fixed compiled shape.
+        #
         # Purification: when M is only semi-definite (e.g. the Whitney
         # pull-back mass), Ritz vectors carry null(M) components invisible
         # to the M-inner-product recurrence; one application of
-        # (S + sigma M)^{-1} M / theta annihilates them. Batched multi-rhs CG.
+        # (S + sigma M)^{-1} M / theta annihilates them. Batched multi-rhs
+        # CG, padded to a 32-quantized column count (the solve's compiled
+        # shape; zero columns converge in the first residual check).
         take = min(cut, 2 * k + 10)
         usable = np.abs(theta_sorted[:take]) > 1e-30
-        cand = cand[:take]
+        take_q = 32 * (-(-take // 32))
+        y_pad = np.zeros((int(big_v.shape[0]), take_q))
+        y_pad[:cut, :take] = y[:, order[:take]]
+        # Rows past ``cut`` hold post-breakdown garbage (inf/NaN in the
+        # semi-definite-M blow-up regime) — zero-padding y does NOT kill
+        # them (0 * inf = NaN), so mask the rows themselves on device.
+        cand_t = _cand_from_krylov(big_v, jnp.asarray(y_pad, dtype),
+                                   jnp.asarray(cut, jnp.int32))
         if accepted:
             # M-deflate accepted pairs from the block BEFORE the solve: the
             # shift-invert purification amplifies any residual component of
             # an accepted SMALL eigenvalue by (lam + sigma)/(lam_acc + sigma)
             # — for a harmonic (lam_acc ~ 0) that is ~lam/sigma ~ 1e9, enough
-            # to bury every later candidate under recycled nullspace.
-            _u = np.stack(accepted)
-            _mu = np.stack(accepted_m)
-            cand = cand - (cand @ _mu.T) @ _u
-        # Pad the purification block to a 32-quantized column count: the
-        # multi-rhs solve's compiled shape is the block width, and ``take``
-        # varies with restart depth / breakdown truncation — without the
-        # pad every distinct width retraced the banded-PCG chunk. Zero
-        # columns converge in the first residual check and cost no extra
-        # dispatches.
-        take_q = 32 * (-(-take // 32))
-        cand_pad = np.zeros((take_q, cand.shape[1]))
-        cand_pad[:take] = cand
-        cand_t = jnp.asarray(cand_pad.T, dtype)
+            # to bury every later candidate under recycled nullspace. The
+            # restart's deflation block holds exactly these vectors (rows
+            # past len(accepted) are zeros), so the projection runs on
+            # device too.
+            dv = jnp.asarray(defl_v, dtype)
+            dmv = jnp.asarray(defl_mv, dtype)
+            cand_t = cand_t - dv.T @ (dmv @ cand_t)
         b = _mass_matvec_multi(basis, mass_blocks, cand_t)
         if pack is not None and pack.bsolver is not None:
             # Host-chunked multi-rhs banded PCG: a single fused while_loop

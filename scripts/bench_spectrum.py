@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--mesh", default="/root/reference/Example/mesh.ply")
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--maxLanczos", type=int, default=0,
+                    help="override the Lanczos subspace depth (0 = default)")
+    ap.add_argument("--cgTol", type=float, default=0.0,
+                    help="override the inner-solve tolerance (0 = default)")
     args = ap.parse_args()
 
     from meshopticalflow_tpu.utils.compat import honor_platform_env
@@ -71,8 +75,13 @@ def main():
     ours = None
     for rep in range(args.reps):
         t0 = time.time()
+        kw = {}
+        if args.maxLanczos:
+            kw["max_lanczos"] = args.maxLanczos
+        if args.cgTol:
+            kw["cg_tol"] = args.cgTol
         result = compute_spectrum(basis, mass, args.k,
-                                  host_stepped=(platform != "cpu"))
+                                  host_stepped=(platform != "cpu"), **kw)
         jax.block_until_ready(result.triangle_fields)
         dt = time.time() - t0
         ours = np.asarray(result.eigenvalues, np.float64)
