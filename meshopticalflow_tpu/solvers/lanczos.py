@@ -59,6 +59,15 @@ def _prolong_multi(basis: BasisDevice, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _rr_grams(basis: BasisDevice, mass_blocks, pure):
+    """Rayleigh-Ritz gram matrices (pure^T S pure, pure^T M pure) on
+    device — the (n, take_q) block itself never crosses the tunnel."""
+    sb = ell_matvec(basis.ell_cols, basis.s_vals, pure)
+    mb = _mass_matvec_multi(basis, mass_blocks, pure)
+    return pure.T @ sb, pure.T @ mb
+
+
+@jax.jit
 def _cand_from_krylov(big_v, y_pad, cut):
     """Ritz candidates big_v[:cut].T @ y on device at a FIXED shape: rows
     at or past ``cut`` are masked to zero (they may hold post-breakdown
@@ -845,38 +854,54 @@ def compute_spectrum(
         else:
             pure, _ = pcg_multi(a_mv_multi, b, adiag, tol=cg_tol,
                                 max_iters=cg_max_iters)
-        pure = np.asarray(pure, np.float64)[:, :take] / theta_sorted[:take][None, :]
+        # Scale by 1/theta ON DEVICE (padding and near-zero-theta columns
+        # are masked to zero — previously `usable` excluded them downstream).
+        theta_scale = np.zeros(take_q)
+        ok_theta = np.abs(theta_sorted[:take]) > 1e-30
+        theta_scale[:take] = np.where(ok_theta, 1.0, 0.0) \
+            / np.where(ok_theta, theta_sorted[:take], 1.0)
+        pure = pure * jnp.asarray(theta_scale, dtype)[None, :]
         _tick("purify")
         # Rayleigh-Ritz on the purified block: near-converged Ritz pairs in
         # degenerate clusters arrive as mixtures at ~1e-3 residual; solving
         # the projected generalized eigenproblem unmixes them exactly within
-        # the block's span. Host f64 operators — the device-dtype floor
-        # would poison the projected matrices the same way it poisoned
-        # acceptance.
-        sb = _s64 @ pure
-        mb = _m64 @ pure
-        hs = pure.T @ sb
-        hm = pure.T @ mb
+        # the block's span. The GRAM matrices now form on device in the
+        # compute dtype — unmixing needs ~1e-6 gram accuracy, orders above
+        # the f32 floor — while ACCEPTANCE below keeps the host-f64
+        # operators as the arbiter of every pair (the dtype floor argument
+        # applies to residual differences, not to the projection).
+        hs_d, hm_d = _rr_grams(basis, mass_blocks, pure)
+        hs = np.asarray(hs_d, np.float64)
+        hm = np.asarray(hm_d, np.float64)
         hs = (hs + hs.T) / 2
         hm = (hm + hm.T) / 2
         dm, qm = np.linalg.eigh(hm)
         keep = dm > max(dm.max(), 0) * 1e-10
+        lams_all = np.concatenate(
+            [lams_all[:take], np.full(take_q - take, np.inf)])
+        usable = np.concatenate([usable, np.zeros(take_q - take, bool)])
         if keep.any():
             wq = qm[:, keep] / np.sqrt(dm[keep])[None, :]
             theta2, z2 = np.linalg.eigh(wq.T @ hs @ wq)
-            pure = pure @ (wq @ z2)
+            mix = np.zeros((take_q, take_q))
+            mix[:, :wq.shape[1]] = wq @ z2
+            pure = pure @ jnp.asarray(mix, dtype)
             lams_all = np.concatenate(
-                [theta2, np.full(take - len(theta2), np.inf)])
+                [theta2, np.full(take_q - len(theta2), np.inf)])
             usable = np.concatenate([np.ones(len(theta2), bool),
-                                     np.zeros(take - len(theta2), bool)])
-
+                                     np.zeros(take_q - len(theta2), bool)])
+        # Fetch only the columns acceptance can use: the leading k plus a
+        # cluster margin. The full (n, take_q) block is 6-50 MB and the
+        # tunnel moves 8-60 MB/s — this fetch was a top-3 spectrum stage.
+        n_fetch = min(take_q, k + 12)
+        pure = np.asarray(pure[:, :n_fetch], np.float64)
         _tick("rayleigh-ritz")
         # Residual-based acceptance with progressive M-orthogonalization
         # (ARPACK purges spurious pairs the same way). Accept a little past
         # k so degenerate clusters straddling the cut are caught.
         new_found = 0
         _rq_pos: list = []   # Rayleigh quotients of M-normalizable candidates
-        for i in range(take):
+        for i in range(n_fetch):
             if not usable[i]:
                 continue
             lam_i = lams_all[i]
