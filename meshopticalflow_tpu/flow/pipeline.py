@@ -392,8 +392,9 @@ def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                  config: FlowConfig, coarse=None, patch=None, x0=None,
-                 device_mesh=None):
+                 device_mesh=None, sched_key=None):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
+                               sched_key=sched_key,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
                                refine=config.flow_refine, coarse=coarse,
@@ -421,7 +422,8 @@ def _pack_level_scalars(*vals):
 def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
                 vpatch=None, want_resampled: bool = False,
-                compact_trace: bool = False, warm_x=None, device_mesh=None):
+                compact_trace: bool = False, warm_x=None, device_mesh=None,
+                level: int | None = None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve. ``want_resampled`` additionally returns the advected per-vertex
@@ -441,7 +443,8 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch,
                                                     x0=warm_x,
-                                                    device_mesh=device_mesh)
+                                                    device_mesh=device_mesh,
+                                                    sched_key=level)
     _t3 = time.time()
     from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
@@ -1089,7 +1092,7 @@ class FlowProblem:
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
                 getattr(self, "vpatch", None), want_resampled=debug_dir is not None,
                 compact_trace=self.device_mesh is None, warm_x=warm_x,
-                device_mesh=self.device_mesh)
+                device_mesh=self.device_mesh, level=level)
             if cfg.flow_warm_start:
                 from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
                 warm_x = LAST_FLOW_SOLVE.get("x")

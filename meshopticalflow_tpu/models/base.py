@@ -248,7 +248,7 @@ def _quantize_iters(n: int) -> int:
     return 96
 
 
-def _flow_schedule_for(solver, rhs, x0, refine_tol):
+def _flow_schedule_for(solver, rhs, x0, refine_tol, sched_key=None):
     """The pinned schedule for this solver's pack, if the fixed pipelined
     path applies (banded Pallas solver, f32, cold start, df32 backend)."""
     import jax as _jax
@@ -262,10 +262,10 @@ def _flow_schedule_for(solver, rhs, x0, refine_tol):
     from meshopticalflow_tpu.solvers.df32 import df32_probe
     if not df32_probe(_jax.default_backend()):
         return None
-    return _FLOW_SCHED.get(("flow", solver.pack_id))
+    return _FLOW_SCHED.get(("flow", solver.pack_id, sched_key))
 
 
-def _maybe_pin_schedule(solver, stats, refine_tol):
+def _maybe_pin_schedule(solver, stats, refine_tol, sched_key=None):
     """After a successful adaptive refinement, pin its measured round
     lengths (ladder-quantized) for this pack so later levels replay them
     without per-round fetches."""
@@ -276,7 +276,7 @@ def _maybe_pin_schedule(solver, stats, refine_tol):
         return
     if float(stats.rel_residual) > 1.5 * refine_tol:
         return
-    _FLOW_SCHED[("flow", solver.pack_id)] = tuple(
+    _FLOW_SCHED[("flow", solver.pack_id, sched_key)] = tuple(
         _quantize_iters(int(n)) for n, _ in rounds)
 
 
@@ -303,6 +303,9 @@ def update_optical_flow(
     refine_floor: float = 1e-5,
     x0=None,   # warm start for the flow solve (e.g. previous level's x)
     device_mesh=None,  # jax.sharding.Mesh for backend="halo"
+    sched_key=None,    # pin refinement schedules PER LEVEL (later levels
+                       # converge slower; one shared pin overshoots early
+                       # levels and misses late ones)
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -439,7 +442,8 @@ def update_optical_flow(
             if not refine:
                 return solver.solve(rhs, x0=x0, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))
-            sched = _flow_schedule_for(solver, rhs, x0, refine_tol)
+            sched = _flow_schedule_for(solver, rhs, x0, refine_tol,
+                                       sched_key)
             if sched is not None:
                 from meshopticalflow_tpu.solvers.refine import \
                     refine_fixed_pipelined
@@ -462,10 +466,11 @@ def update_optical_flow(
                                   for n, _ in _LAST_ROUNDS[0])
                     if (extra and len(sched) + len(extra) <= 4
                             and float(stats.rel_residual) <= 1.5 * refine_tol):
-                        _FLOW_SCHED[("flow", solver.pack_id)] = \
-                            tuple(sched) + extra
+                        _FLOW_SCHED[("flow", solver.pack_id,
+                                     sched_key)] = tuple(sched) + extra
                     else:
-                        _FLOW_SCHED.pop(("flow", solver.pack_id), None)
+                        _FLOW_SCHED.pop(
+                            ("flow", solver.pack_id, sched_key), None)
                 return x, stats
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,
@@ -473,7 +478,7 @@ def update_optical_flow(
                     r, tol=max(cg_tol, tol_inner),
                     max_iters=min(cg_max_iters, 120), b_norm2=rn2),
                 tol=refine_tol, inner_floor=refine_floor, x0=x0)
-            _maybe_pin_schedule(solver, stats, refine_tol)
+            _maybe_pin_schedule(solver, stats, refine_tol, sched_key)
             return x, stats
 
         try:
