@@ -598,6 +598,9 @@ def _fixed_first_impl(fine_f32_tc, fine_f32_vals, fine_bf_tc, fine_bf_vals,
     from meshopticalflow_tpu.solvers.df32 import df_update
 
     pack = _PACKS[pack_id]
+    # b_max < 0 asks the program to compute the scale itself (max|b|) —
+    # saving the caller's entry-norm fetch entirely.
+    b_max = jnp.where(b_max >= 0, b_max, jnp.max(jnp.abs(b_f32)))
     scale = jnp.where(b_max > 0, b_max, jnp.float32(1.0))
     b_t = to_tiles(b_f32 / scale, pack.fine_perm, pack.fine_nr)
     zero_t = jnp.zeros_like(b_t)

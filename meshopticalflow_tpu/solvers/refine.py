@@ -142,6 +142,12 @@ def _scale_vec(v, scale):
     return v / scale
 
 
+@_jax.jit
+def _final_check_stats(stats_f, b):
+    """[||r_final||^2, ||b||^2] — the fixed-schedule path's ONLY fetch."""
+    return jnp.stack([stats_f[0], jnp.vdot(b, b)])
+
+
 def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
                            inner_solve=None, max_rounds: int = 5,
                            inner_floor: float = 1e-6):
@@ -176,23 +182,17 @@ def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
 
     vals_f32 = vals.astype(jnp.float32)
     b_f32 = b.astype(jnp.float32)
-    stats0 = np.asarray(_vec_stats(b_f32))
-    b_norm2, b_max = float(stats0[0]), float(stats0[1])
-    if b_norm2 == 0:
-        return (jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
-                                           jnp.asarray(0.0, b.dtype)), True)
-    b_norm = float(np.sqrt(b_norm2))
     fused = (hasattr(inner_fixed, "__self__")
              and hasattr(inner_fixed.__self__, "fixed_first_round"))
     if fused:
-        # Fully fused rounds (PallasMG3Solver): 1 program for round 1,
+        # Fully fused rounds (PallasMG3Solver): 1 program for round 1
+        # (which computes the max|b| scale in-program — no entry fetch),
         # 2 per later round (products + residual/PCG/update) — host-side
         # dispatch latency is ~50 ms each on the tunneled runtime, so the
         # program count is itself a measurable slice of a 2 s solve.
         solver = inner_fixed.__self__
         mode = df32_mode(_jax2.default_backend())
-        x_hi, x_lo = solver.fixed_first_round(b_f32, b_max or 1.0,
-                                              int(schedule[0]))
+        x_hi, x_lo = solver.fixed_first_round(b_f32, -1.0, int(schedule[0]))
         total = int(schedule[0])
         for n_k in schedule[1:]:
             x_hi, x_lo = solver.fixed_next_round(cols, vals_f32, x_hi, x_lo,
@@ -200,6 +200,12 @@ def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
             total += int(n_k)
     else:
         # Generic path for inner solvers without the fused rounds.
+        stats0 = np.asarray(_vec_stats(b_f32))
+        b_norm2_e, b_max = float(stats0[0]), float(stats0[1])
+        if b_norm2_e == 0:
+            return (jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                               jnp.asarray(0.0, b.dtype)),
+                    True)
         e = inner_fixed(_scale_vec(b_f32, jnp.float32(b_max or 1.0)),
                         int(schedule[0]))
         x_hi, x_lo = df_update(jnp.zeros_like(b_f32), jnp.zeros_like(b_f32),
@@ -213,7 +219,13 @@ def refine_fixed_pipelined(cols, vals, b, inner_fixed, schedule, tol: float,
             x_hi, x_lo = df_update(x_hi, x_lo, e, stats_mid[1])
             total += int(n_k)
     _, _, stats_f = ell_residual_df(cols, vals_f32, x_hi, x_lo, b_f32)
-    rel = float(np.sqrt(max(float(np.asarray(stats_f)[0]), 0.0))) / b_norm
+    final = np.asarray(_final_check_stats(stats_f, b_f32))
+    r2_f, b_norm2 = float(final[0]), float(final[1])
+    if b_norm2 == 0:
+        return (jnp.zeros_like(b), CGStats(jnp.asarray(0, jnp.int32),
+                                           jnp.asarray(0.0, b.dtype)), True)
+    b_norm = float(np.sqrt(b_norm2))
+    rel = float(np.sqrt(max(r2_f, 0.0))) / b_norm
     _LAST_ROUNDS[0] = [(int(n), None) for n in schedule]
     if rel < max(tol, 1e-11):
         return (x_hi.astype(b.dtype),
