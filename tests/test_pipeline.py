@@ -215,8 +215,6 @@ def test_flow_rounds_metric_formats_pinned_rounds():
     """The level metric formatter must accept pinned-schedule round records
     (rel is None by design — no per-round residual fetch); a bench run
     crashed on exactly this (round 4)."""
-    from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
-
     from meshopticalflow_tpu.flow.pipeline import _format_rounds
     assert _format_rounds([(48, None), (48, 1.6e-4)]) == \
         "48@pinned; 48@1.6e-04"
