@@ -19,10 +19,14 @@ BASELINE.md north-star configuration.
 Throttle-robust protocol (VERDICT r2 next #2): the tunneled axon device's
 throughput varies 3-6x across time windows and its first device-to-host
 fetch per process can wedge for minutes, so ONE draw is a lottery ticket.
-This bench runs BENCH_DRAWS (default 3) full end-to-end draws — each one
+This bench runs BENCH_DRAWS (default 5) full end-to-end draws — each one
 constructs the problem from its inputs and runs init + levels + advection —
 inside one process, reports the MEDIAN end-to-end rate as the headline
-value, and persists every draw in the detail block. Compilation and
+value, and persists every draw in the detail block.  Five draws (not
+three) because a throttled window routinely burns one or two draws on
+multi-tens-of-seconds mid-run stalls (e.g. the 2026-08-19T1322 artifact:
+26.8k/42.2k/95.0k in one run) — a 5-draw median stays on the warm cluster
+with up to two bad draws; the marginal cost is ~2 warm draws (~90 s). Compilation and
 per-mesh artifact caches are shared across draws, exactly as they are for
 a user aligning many pairs on one machine (the reference binary similarly
 pays its OS page cache once).
@@ -217,7 +221,7 @@ def one_draw(paths, size, levels, draw=0):
 def main():
     size = int(os.environ.get("BENCH_ATLAS", "2048"))
     levels = int(os.environ.get("BENCH_LEVELS", "10"))
-    draws = int(os.environ.get("BENCH_DRAWS", "3"))
+    draws = int(os.environ.get("BENCH_DRAWS", "5"))
     stall_s = float(os.environ.get("BENCH_STALL_S", "2100"))
     threading.Thread(target=_watchdog, args=(stall_s,), daemon=True).start()
 
