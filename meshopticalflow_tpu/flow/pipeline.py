@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -653,19 +654,31 @@ class FlowProblem:
         self.texture_source = texture_source
         # Upload the u8 pixels (12.5 MB each at 2K) and cast on DEVICE —
         # a float32 host cast would quadruple the tunnel upload bytes.
+        # The uploads are ASYNC by default: their only consumers are the
+        # output/advection stage ~30 s of level solves later, and the tunnel
+        # moves h2d at ~16 MB/s (measured: 6.2 s + 6.4 s BLOCKED at 4K), so
+        # letting the DMA ride under the level dispatches is free wall time.
+        # MESHFLOW_SYNC_INIT=1 restores the blocking waits so init_profile
+        # attributes transfer cost precisely (otherwise the upload entries
+        # time the host-side enqueue only).
+        _sync_init = os.environ.get("MESHFLOW_SYNC_INIT", "") == "1"
+
+        def _settle(x):
+            if _sync_init and x is not None:
+                x.block_until_ready()
+
         self.textures = None if textures is None else \
             jnp.asarray(textures).astype(dtype)
         self.tri_uvs = None if tri_uvs is None else jnp.asarray(tri_uvs, dtype)
         self.vertex_colors = None if vertex_colors is None else jnp.asarray(vertex_colors, dtype)
-        if self.textures is not None:
-            self.textures.block_until_ready()
+        _settle(self.textures)
         _mark("texture_upload")
         if texture_source is not None:
             self.src_t = jnp.asarray(texture_source.tri_idx)
             self.src_p = jnp.asarray(texture_source.bary, dtype)
-            self.src_p.block_until_ready()
+            _settle(self.src_p)
             _mark("texel_table_upload")
-            self._exp_remap_texels()
+            self._exp_remap_texels(_settle)
         _mark("exp_remap")
         self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
         self.tfield = jnp.zeros((mesh.n_triangles, 2), dtype)
@@ -1005,22 +1018,26 @@ class FlowProblem:
                    vertex_colors=np.stack([m0.colors, m1.colors]),
                    device_mesh=device_mesh)
 
-    def _exp_remap_texels(self) -> None:
+    def _exp_remap_texels(self, settle=None) -> None:
         """Push out-of-triangle texels through the geodesic exp
-        (RemapSamplePoint, MeshFlow.inl:339-350)."""
+        (RemapSamplePoint, MeshFlow.inl:339-350).  ``settle`` is the init
+        profiler's optional blocking hook (MESHFLOW_SYNC_INIT); by default
+        every step here just ENQUEUES and the device stream orders it
+        before the first advection read."""
         src = self.texture_source
         mask = src.needs_remap
         if not mask.any():
             return
+        settle = settle or (lambda x: None)
         idx = np.nonzero(mask)[0]
         _t = time.time()
         t_in = jnp.asarray(src.tri_idx[idx])
         p_in = jnp.asarray(src.bary[idx], self.dtype)
-        p_in.block_until_ready()
+        settle(p_in)
         self.init_profile["exp_upload"] = round(time.time() - _t, 2)
         _t = time.time()
         t1, p1, exhausted = _exp_remap_jit(self.arrays.tm, t_in, p_in)
-        t1.block_until_ready()
+        settle(t1)
         self.init_profile["exp_dispatch"] = round(time.time() - _t, 2)
         # Scatter the remapped texels on DEVICE — the sample table stays
         # resident (the host texture_source keeps the pre-remap rasterizer
@@ -1029,7 +1046,7 @@ class FlowProblem:
         idx_dev = jnp.asarray(idx, jnp.int32)
         self.src_t, self.src_p = _scatter_remapped(self.src_t, self.src_p,
                                                    idx_dev, t1, p1)
-        self.src_t.block_until_ready()
+        settle(self.src_t)
         self.init_profile["exp_scatter"] = round(time.time() - _t, 2)
         # Deferred fetch: scalar d2h reads at this point in init wedge the
         # tunneled runtime for minutes (observed repeatedly); the count is

@@ -37,7 +37,15 @@ def enable_persistent_cache(path: str | None = None) -> None:
     global _ENABLED
     if _ENABLED:
         return
-    path = path or os.environ.get("MESHFLOW_JIT_CACHE", os.path.expanduser("~/.cache/meshflow_jax"))
+    env = os.environ.get("MESHFLOW_JIT_CACHE")
+    if env is not None and env.strip().lower() in ("", "0", "off", "none"):
+        # Explicitly disabled (e.g. the driver's CPU dryrun: every cached-
+        # executable LOAD prints a spurious XLA:CPU machine-mismatch
+        # LOG(ERROR) about LLVM tuning pseudo-features — see
+        # __graft_entry__.py — and a clean tail beats a warm cache there).
+        _ENABLED = True
+        return
+    path = path or env or os.path.expanduser("~/.cache/meshflow_jax")
     path = os.path.join(path, f"host-{platform.machine()}-{_host_key()}")
     try:
         os.makedirs(path, exist_ok=True)
