@@ -500,6 +500,14 @@ def _advect_texture_step_jit(tm: TraceMesh, tfield, tri_uvs, texture, src_t, src
 
 
 @jax.jit
+def _advect_order_jit(src_t, src_p):
+    """Triangle-coherent march order + the reordered texel tables, all on
+    device (see FlowProblem._ensure_advect_order)."""
+    order = jnp.argsort(src_t).astype(jnp.int32)
+    return order, src_t[order], src_p[order]
+
+
+@jax.jit
 def _halfway_lanes(src_t_sorted, src_p_sorted, t_back, t_fwd):
     """Both textures' march lanes (start states + per-lane flow times) in
     one dispatch (was three eager concats per output call). The two flow
@@ -1208,13 +1216,28 @@ class FlowProblem:
         """March lanes sorted by starting triangle: the per-step fused-row
         gathers hit coherent table rows (~13% measured on the 2K advect).
         The permutation is static per problem; outputs scatter back to
-        raster order."""
+        raster order.
+
+        Sorted ON DEVICE: the old host argsort started with a d2h fetch of
+        the whole texel table (134 MB at 4K ≈ 11 s over the ~12 MB/s
+        tunnel, measured in bench_runs/round4_profile_advect_2026-08-19)
+        and re-uploaded the reordered copies.  Per-lane march results are
+        permutation-independent (the scatter undoes the order), so the
+        device sort needs no parity with numpy's."""
         if getattr(self, "_advect_order", None) is None:
-            order_h = np.argsort(np.asarray(self.src_t), kind="stable")
-            order = jnp.asarray(order_h, jnp.int32)
+            order, t_s, p_s = _advect_order_jit(self.src_t, self.src_p)
             self._advect_order = order
-            self._advect_src_t = jnp.asarray(self.src_t)[order]
-            self._advect_src_p = jnp.asarray(self.src_p)[order]
+            self._advect_src_t = t_s
+            self._advect_src_p = p_s
+
+    def _ensure_quad_tables(self):
+        """Per-texture bilinear quad tables (kernels/advect.build_quad_table),
+        built on device once per problem."""
+        if getattr(self, "_quad_tables", None) is None:
+            from meshopticalflow_tpu.kernels.advect import build_quad_table
+            self._quad_tables = tuple(
+                jax.jit(build_quad_table)(self.textures[s]) for s in range(2))
+        return self._quad_tables
 
     def _advect_one_texture(self, s: int, alpha: float):
         """Advect texture ``s`` to the halfway point; returns the flat
@@ -1227,11 +1250,13 @@ class FlowProblem:
         cfg = self.config
         self._ensure_advect_order()
         length = -alpha if s == 0 else 1.0 - alpha
+        quad = self._ensure_quad_tables()[s] if not cfg.nearest else None
         colors_s, _, _, exhausted = advect_texture_compacted(
             self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
             self._advect_src_t, self._advect_src_p,
             jnp.asarray(length, self.dtype),
-            cfg.flow_min_step, cfg.flow_max_steps, not cfg.nearest)
+            cfg.flow_min_step, cfg.flow_max_steps, not cfg.nearest,
+            quad=quad)
         if exhausted:
             print(f"[WARNING] texture advection: {exhausted} texel lanes "
                   f"hit the {cfg.flow_max_steps}-step cap", file=_sys.stderr)
@@ -1278,11 +1303,14 @@ class FlowProblem:
         # The two texture samplings stay in _fetch_colors' own jit (its
         # compiled float ops are the bit-identity contract with the
         # two-pass path); the scatter/where/blend/quantize tail fuses into
-        # one dispatch instead of ~8 eager ones.
+        # one dispatch instead of ~8 eager ones.  Bilinear goes through the
+        # one-row-per-lane quad table (build_quad_table: gathers cost per
+        # ROW here; bit-identical blend).
+        quads = self._ensure_quad_tables() if not cfg.nearest else (None, None)
         c0 = _fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[0],
-                           t1[:n], p1[:n], not cfg.nearest)
+                           t1[:n], p1[:n], not cfg.nearest, quad=quads[0])
         c1 = _fetch_colors(self.arrays.tm, self.tri_uvs, self.textures[1],
-                           t1[n:], p1[n:], not cfg.nearest)
+                           t1[n:], p1[n:], not cfg.nearest, quad=quads[1])
         q = _halfway_tail(c0, c1, self._advect_order, self.src_t,
                           self.textures[0], self.textures[1], h, w)
         # One u8 download; band-parallel when MESHFLOW_FETCH_PARTS > 1
@@ -1317,7 +1345,9 @@ class FlowProblem:
                 self.arrays.tm, self.tfield, self.tri_uvs, self.textures[s],
                 self.src_t, self.src_p, jnp.asarray(length, self.dtype),
                 frames, cfg.flow_min_step, cfg.flow_max_steps,
-                not cfg.nearest)
+                not cfg.nearest,
+                quad=self._ensure_quad_tables()[s] if not cfg.nearest
+                else None)
             base_flat = jnp.flipud(self.textures[s]).reshape(-1, 3)
             colors = jnp.where((self.src_t >= 0)[None, :, None], colors,
                                base_flat[None])

@@ -89,28 +89,64 @@ def resample_signal_pair(
     return out / jnp.maximum(counts, 1.0)[:, None]
 
 
+def build_quad_table(texture: jnp.ndarray) -> jnp.ndarray:
+    """(H*W, 12) uint8 table of each texel's bilinear 2x2 footprint —
+    [c00 | c10 | c01 | c11] with the sampler's edge clamps baked in
+    (x1 = min(x0+1, w-1), y1 = min(y0+1, h-1)).
+
+    Bilinear sampling then gathers ONE row per lane instead of four: on
+    the axon TPU backend gathers cost per ROW, and the halfway output
+    stage samples 2 x H*W lanes (measured: 2.5 s -> 1.0 s of the warm 4K
+    output stage).  u8 storage keeps it at texture size and the
+    u8 -> compute-dtype cast after the gather is exact, so the gathered
+    VALUES equal the four-gather path's exactly.  Caveat: the quad and
+    four-gather programs are different XLA kernels, and LLVM may
+    FMA-contract their (identical) blend expressions differently — ±1
+    quantization flips on ~0.1% of output pixels were measured between
+    them at 256² f64 (90/65,536).  Every production sampler therefore
+    routes through the SAME path (quad when bilinear), which keeps the
+    fused-output-vs-two-pass bit-identity contract exact; the thresholded
+    reference goldens are insensitive to the wobble either way."""
+    h, w = texture.shape[:2]
+    t = texture.astype(jnp.uint8)                      # exact: values are u8
+    right = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+    down = jnp.concatenate([t[1:], t[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([t, right, down, downright],
+                           axis=-1).reshape(h * w, 12)
+
+
 def sample_texture_bilinear(texture: jnp.ndarray, uv: jnp.ndarray,
-                            bilinear: bool = True) -> jnp.ndarray:
+                            bilinear: bool = True,
+                            quad: jnp.ndarray | None = None) -> jnp.ndarray:
     """Texture fetch with the reference's y-flip + clamp (MeshFlow.inl:65-84).
 
     texture: (H, W, 3) float; uv: (N, 2) in [0,1] uv space (v up).
+    ``quad``: optional build_quad_table(texture) — one-row-per-lane
+    bilinear gathers, bit-identical output.
     """
     h, w = texture.shape[:2]
     x = jnp.clip(uv[:, 0], 0.0, 1.0) * (w - 1)
     y = jnp.clip(1.0 - uv[:, 1], 0.0, 1.0) * (h - 1)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    flat = texture.reshape(-1, texture.shape[-1])
     if not bilinear:
-        return flat[y0 * w + x0]
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
+        return texture.reshape(-1, texture.shape[-1])[y0 * w + x0]
     dx = (x - x0).astype(texture.dtype)[:, None]
     dy = (y - y0).astype(texture.dtype)[:, None]
-    c00 = flat[y0 * w + x0]
-    c10 = flat[y0 * w + x1]
-    c11 = flat[y1 * w + x1]
-    c01 = flat[y1 * w + x0]
+    if quad is not None:
+        c = texture.shape[-1]
+        rows = quad[y0 * w + x0].astype(texture.dtype)
+        c00, c10, c01, c11 = (rows[:, :c], rows[:, c:2 * c],
+                              rows[:, 2 * c:3 * c], rows[:, 3 * c:])
+    else:
+        flat = texture.reshape(-1, texture.shape[-1])
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        c00 = flat[y0 * w + x0]
+        c10 = flat[y0 * w + x1]
+        c11 = flat[y1 * w + x1]
+        c01 = flat[y1 * w + x0]
     return (c00 * (1 - dx) * (1 - dy) + c10 * dx * (1 - dy)
             + c11 * dx * dy + c01 * (1 - dx) * dy)
 
@@ -282,18 +318,19 @@ def flow_field_trace_compacted(tm, vfield, times, t0, p0, min_step,
 
 
 @_ft.partial(jax.jit, static_argnames=("bilinear",))
-def _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear: bool):
+def _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear: bool, quad=None):
     t_safe = jnp.maximum(t1, 0)
     corners = tri_uvs[t_safe]
     w0 = (1.0 - p1[:, 0] - p1[:, 1])[:, None]
     uv = corners[:, 0] * w0 + corners[:, 1] * p1[:, 0:1] + corners[:, 2] * p1[:, 1:2]
-    colors = sample_texture_bilinear(texture, uv, bilinear)
+    colors = sample_texture_bilinear(texture, uv, bilinear, quad=quad)
     return jnp.where((t1 >= 0)[:, None], colors, 0.0)
 
 
 def advect_texture_compacted(tm, vfield, tri_uvs, texture, src_t, src_p,
                              length, min_step: float = 1e-2,
-                             max_steps: int = 4096, bilinear: bool = True):
+                             max_steps: int = 4096, bilinear: bool = True,
+                             quad=None):
     """Host-orchestrated advect_texture_step with lane compaction.
 
     Returns (colors, t1, p1, exhausted)."""
@@ -301,7 +338,7 @@ def advect_texture_compacted(tm, vfield, tri_uvs, texture, src_t, src_p,
     times = jnp.broadcast_to(jnp.asarray(length, src_p.dtype), (n,))
     t1, p1, exhausted = flow_field_trace_compacted(
         tm, vfield, times, src_t, src_p, min_step, max_steps)
-    colors = _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear)
+    colors = _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear, quad=quad)
     return colors, t1, p1, exhausted
 
 
@@ -309,7 +346,8 @@ def advect_texture_compacted(tm, vfield, tri_uvs, texture, src_t, src_p,
                                        "bilinear"))
 def advect_texture_frames_scan(tm, vfield, tri_uvs, texture, src_t, src_p,
                                alpha, frames: int, min_step: float = 1e-2,
-                               max_steps: int = 4096, bilinear: bool = True):
+                               max_steps: int = 4096, bilinear: bool = True,
+                               quad=None):
     """N-frame texture interpolation as ONE jitted lax.scan over frames
     (SURVEY.md section 5 long-context row; the reference loops on the host,
     OpticalFlow.cpp:517-539). Each step flows the texel table by ``alpha``
@@ -321,7 +359,8 @@ def advect_texture_frames_scan(tm, vfield, tri_uvs, texture, src_t, src_p,
         t, p = carry
         t1, p1 = _fft(tm, vfield, jnp.broadcast_to(alpha, (n,)), t, p,
                       min_step * frames, max_steps)
-        colors = _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear)
+        colors = _fetch_colors(tm, tri_uvs, texture, t1, p1, bilinear,
+                               quad=quad)
         return (t1, p1), colors
 
     (_, _), colors = jax.lax.scan(step, (src_t, src_p), None, length=frames - 1)

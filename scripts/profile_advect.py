@@ -83,6 +83,18 @@ def main():
         c0.block_until_ready()
         row["sample_s"] = round(time.time() - t0, 2)
         t0 = time.time()
+        quads = prob._ensure_quad_tables()
+        quads[1].block_until_ready()
+        row["quad_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        c0 = _fetch_colors(prob.arrays.tm, prob.tri_uvs, prob.textures[0],
+                           t1[:n], p1[:n], True, quad=quads[0])
+        c1 = _fetch_colors(prob.arrays.tm, prob.tri_uvs, prob.textures[1],
+                           t1[n:], p1[n:], True, quad=quads[1])
+        c1.block_until_ready()
+        c0.block_until_ready()
+        row["sample_quad_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
         q = pl._halfway_tail(c0, c1, prob._advect_order, prob.src_t,
                              prob.textures[0], prob.textures[1], h, w)
         q.block_until_ready()

@@ -167,6 +167,29 @@ def test_sample_texture_bilinear_reference_semantics():
         np.testing.assert_allclose(got[i], expect, atol=1e-9)
 
 
+def test_quad_table_sampling_bit_identical():
+    """The one-row-per-lane quad table (kernels/advect.build_quad_table)
+    must reproduce the four-gather bilinear path EXACTLY — same gathered
+    values (u8 storage + exact cast), same blend arithmetic — on interior,
+    edge-clamped, and exact-texel-center uv, in f32 and f64."""
+    from meshopticalflow_tpu.kernels.advect import build_quad_table
+    rng = np.random.default_rng(7)
+    tex_u8 = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    for dt in (np.float32, np.float64):
+        tex = jnp.asarray(tex_u8.astype(dt))
+        quad = build_quad_table(tex)
+        uv = np.concatenate([
+            rng.uniform(-0.2, 1.2, (200, 2)),        # interior + clamps
+            np.array([[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0]]),
+            np.stack([np.linspace(0, 1, 9),           # exact texel centers
+                      np.linspace(0, 1, 9)], axis=1),
+        ]).astype(dt)
+        plain = np.asarray(sample_texture_bilinear(tex, jnp.asarray(uv)))
+        viaq = np.asarray(sample_texture_bilinear(tex, jnp.asarray(uv),
+                                                  quad=quad))
+        np.testing.assert_array_equal(plain, viaq)
+
+
 def test_flow_field_trace_pairs_matches_solo(flat):
     """vmapped multi-pair tracing equals per-pair solo traces."""
     import numpy as np
