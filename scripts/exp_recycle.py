@@ -69,6 +69,10 @@ def emit(obj):
 # Phase 1: capture the per-level systems from a production-trajectory run.
 # ---------------------------------------------------------------------------
 
+def _cap_path(elength, lv):
+    return os.path.join(CAP_DIR, f"e{elength}_level{lv:02d}.npz")
+
+
 def capture(elength, levels=10):
     os.makedirs(CAP_DIR, exist_ok=True)
     marker = os.path.join(CAP_DIR, f"done_{elength}_{levels}")
@@ -89,7 +93,7 @@ def capture(elength, levels=10):
 
     def wrapper(basis, coeffs, d_blocks, rhs_t, vf_smooth_weight, **kw):
         lv = state["level"]
-        np.savez(os.path.join(CAP_DIR, f"level{lv:02d}.npz"),
+        np.savez(_cap_path(elength, lv),
                  d_blocks=np.asarray(d_blocks), rhs_t=np.asarray(rhs_t),
                  v_weight=float(np.asarray(vf_smooth_weight)))
         state["level"] += 1
@@ -238,7 +242,7 @@ def main():
     prev_self_iters = None
     omega = 0.7
     for lv in range(levels):
-        cap = np.load(os.path.join(CAP_DIR, f"level{lv:02d}.npz"))
+        cap = np.load(_cap_path(elength, lv))
         d_blocks = jnp.asarray(cap["d_blocks"])
         rhs_t = jnp.asarray(cap["rhs_t"])
         lam = jnp.asarray(float(cap["v_weight"]), jnp.float64)
