@@ -176,7 +176,8 @@ def one_draw(paths, size, levels, draw=0):
     from meshopticalflow_tpu.config import FlowConfig
     from meshopticalflow_tpu.flow.pipeline import FlowProblem
 
-    cfg = FlowConfig(levels=levels)
+    cfg = FlowConfig(levels=levels,
+                     flow_backend=os.environ.get("BENCH_FLOW_BACKEND", "auto"))
     # Stage-level heartbeats so the stall watchdog distinguishes a
     # throttled-but-alive draw (init alone has measured 469-1100 s under
     # throttle) from a dead backend within one draw.

@@ -72,6 +72,10 @@ def add_alignment_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="float32", help="device dtype (float32/float64)")
     p.add_argument("--hostSolve", action="store_true",
                    help="use the host scipy Cholesky oracle for the level solves")
+    p.add_argument("--flowBackend", default="auto",
+                   choices=("auto", "pallas", "xla", "mf", "halo"),
+                   help="per-level flow solver: auto/pallas/xla = MG-PCG, "
+                        "mf = multifrontal direct, halo = sharded cycle")
 
 
 def config_from_args(args) -> FlowConfig:
@@ -95,6 +99,7 @@ def config_from_args(args) -> FlowConfig:
         nearest=args.nearest,
         dtype=args.dtype,
         use_host_cholesky=args.hostSolve,
+        flow_backend=args.flowBackend,
     )
 
 

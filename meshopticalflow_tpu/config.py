@@ -86,7 +86,11 @@ class FlowConfig:
     # fine SpMV) — 1.5x faster per flow solve on TPU, identical trajectories.
     flow_mg_levels: int = 3
     # Flow-solve SpMV backend: "pallas" (block-ELL kernels, tile-space MG,
-    # bf16 smoothing), "xla" (gather+einsum), "auto" = pallas on TPU.
+    # bf16 smoothing), "xla" (gather+einsum), "auto" = pallas on TPU,
+    # "mf" = batched multifrontal DIRECT solve on the nested-dissection
+    # schedule (solvers/multifrontal.py; single-device, needs the vertex
+    # embedding; falls back to the MG path on factorization breakdown),
+    # "halo" = ppermute halo-exchange sharded cycle under a device mesh.
     flow_backend: str = "auto"
     # Chebyshev order of the inner coarse-1 solve inside the Pallas MG
     # V-cycle (1 = plain V). k>1 spends k cheap coarse-level cycles per

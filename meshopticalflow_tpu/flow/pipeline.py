@@ -393,9 +393,9 @@ def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
 
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                  config: FlowConfig, coarse=None, patch=None, x0=None,
-                 device_mesh=None, sched_key=None):
+                 device_mesh=None, sched_key=None, nd=None):
     return update_optical_flow(arrays.basis, coeffs, d_blocks, rhs_t, v_weight,
-                               sched_key=sched_key,
+                               sched_key=sched_key, nd=nd,
                                cg_tol=config.cg_tol, cg_max_iters=config.cg_max_iters,
                                use_host_cholesky=config.use_host_cholesky,
                                refine=config.flow_refine, coarse=coarse,
@@ -424,7 +424,7 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                 config: FlowConfig, coarse=None, vcoarse=None, patch=None,
                 vpatch=None, want_resampled: bool = False,
                 compact_trace: bool = False, warm_x=None, device_mesh=None,
-                level: int | None = None):
+                level: int | None = None, nd=None):
     """One UpdateFlow level (OpticalFlow.cpp:423-474): chunked-PCG smoothing,
     one jitted advect+data-term stage, two-level-MG (or chunked-PCG) flow
     solve. ``want_resampled`` additionally returns the advected per-vertex
@@ -445,7 +445,7 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
                                                     v_weight, config, coarse, patch,
                                                     x0=warm_x,
                                                     device_mesh=device_mesh,
-                                                    sched_key=level)
+                                                    sched_key=level, nd=nd)
     _t3 = time.time()
     from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
@@ -697,6 +697,35 @@ class FlowProblem:
         self.vcoarse = None
         self.patch = None
         self.vpatch = None
+        self.nd = None
+
+    def _ensure_nd(self):
+        """Build the multifrontal direct-solve context once per problem
+        (flow_backend="mf"): nested-dissection symbolic analysis on the
+        level-invariant flow pattern (disk-cached) + one device upload of
+        the per-depth index tables. Single-device runs only — sharded runs
+        keep the iterative halo/GSPMD paths. Needs the vertex embedding for
+        the inertial bisection; problems constructed without vertices fall
+        back to MG."""
+        if self.nd is not None:
+            return self.nd
+        if (self.config.flow_backend != "mf" or self.device_mesh is not None
+                or self.vertices is None):
+            return None
+        from meshopticalflow_tpu.solvers.multifrontal import build_nd_context
+        from meshopticalflow_tpu.utils.artifacts import key_of
+        cfg = self.config
+        ck = key_of("ndpack", self._cache_key, int(cfg.vf_mode),
+                    int(cfg.connection_mode), cfg.divergence_free, 64) \
+            if (self._cache_key and cfg.artifact_cache) else ""
+        _t0 = time.time()
+        basis = self.arrays.basis
+        self.nd = build_nd_context(
+            self.mesh.triangles, self.vertices, self.basis_host.p_idx,
+            basis.ell_cols, basis.n_coeffs, diag_slot=basis.diag_slot,
+            leaf=64, cache_key=ck)
+        self.init_profile["nd_pack"] = round(time.time() - _t0, 2)
+        return self.nd
 
     def _ensure_signals(self) -> None:
         """Run the comparison-signal preprocessing (idempotent), using the
@@ -1109,6 +1138,7 @@ class FlowProblem:
         # checkpoint on resume so resumed runs stay deterministic.
         warm_x = getattr(self, "_warm_x", None) if cfg.flow_warm_start else None
         self._warm_x = None
+        nd = self._ensure_nd()
         for level in range(start_level, cfg.levels):
             t0 = time.time()
             coeffs, tfield, stats, resampled = _level_step(
@@ -1117,7 +1147,7 @@ class FlowProblem:
                 getattr(self, "vcoarse", None), getattr(self, "patch", None),
                 getattr(self, "vpatch", None), want_resampled=debug_dir is not None,
                 compact_trace=self.device_mesh is None, warm_x=warm_x,
-                device_mesh=self.device_mesh, level=level)
+                device_mesh=self.device_mesh, level=level, nd=nd)
             if cfg.flow_warm_start:
                 from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
                 warm_x = LAST_FLOW_SOLVE.get("x")

@@ -280,6 +280,96 @@ def _maybe_pin_schedule(solver, stats, refine_tol, sched_key=None):
         _quantize_iters(int(n)) for n, _ in rounds)
 
 
+def _make_mg_solver(basis, coarse, patch, d_blocks, scale, vf_smooth_weight,
+                    sys_vals, diag, backend, device_mesh, mg_cheb_k, mg_nu,
+                    mg_fine_cheb, mg_coarse_exact, mg_c1_bf16):
+    """Construct the iterative per-level flow solver: the Pallas 3-level
+    MG-PCG on TPU, the tiled 3-level on XLA, the 2-level elsewhere, or the
+    halo-exchange sharded cycle under a device mesh."""
+    c_vals, c_diag = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
+                                        vf_smooth_weight)
+    if backend == "halo" and device_mesh is not None:
+        # Halo-exchange sharded form of the production 2-level cycle
+        # (parallel/halo.py): row-sharded fine level with ppermute
+        # halos, replicated exact banded c1 solve. Opt-in
+        # (flow_backend="halo") under a device mesh.
+        from meshopticalflow_tpu.parallel.halo import flow_halo_solver
+        return flow_halo_solver(device_mesh, basis.ell_cols, sys_vals,
+                                diag, coarse.coarse_dev.ell_cols,
+                                c_vals, coarse.p0_idx, coarse.p0_wt,
+                                nu=mg_nu)
+    if patch is not None and backend == "pallas":
+        # Round-2 production path: Pallas block-ELL kernels, tile-space
+        # state, bf16 smoothing (solvers/pallas_mg.py). The pattern pack
+        # is static per problem — built once, cached on the patch level.
+        from meshopticalflow_tpu.solvers.pallas_mg import (
+            PallasMG3Solver, build_mg_pack)
+        pack = patch.pallas_pack
+        if pack is None:
+            import numpy as np
+            pack = build_mg_pack(np.asarray(basis.ell_cols),
+                                 np.asarray(coarse.coarse_dev.ell_cols),
+                                 coarse.p0,
+                                 np.asarray(patch.p12_idx),
+                                 np.asarray(patch.p12_wt),
+                                 int(patch.s2_dense.shape[0]),
+                                 cache_key=patch.artifact_key)
+            patch.pallas_pack = pack
+        c1_band = None
+        if mg_coarse_exact:
+            from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
+            c1_band = patch.c1_band
+            if c1_band is None:
+                key = patch.artifact_key
+                c1_band = build_c1_band(
+                    pack, np.asarray(coarse.coarse_dev.ell_cols),
+                    cache_key=(key + ".c1band") if key else "")
+                patch.c1_band = c1_band
+        solver = None
+        if c1_band is not None:
+            # With the exact banded c1 the dense patch coarsest is never
+            # touched — skip assembling/uploading it entirely.
+            solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
+                                     None, cheb_k=mg_cheb_k, nu=mg_nu,
+                                     c1_band=c1_band,
+                                     cheb_fine_deg=mg_fine_cheb,
+                                     c1_bf16=mg_c1_bf16)
+            if solver.c1_l_blocks is None:
+                solver = None   # factorization breakdown: fall back
+        if solver is None:
+            # np.asarray materializes a LazyNpzArray fallback block
+            # (utils/artifacts.py) before the jit boundary.
+            import numpy as np
+            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
+                                    scale, vf_smooth_weight,
+                                    jnp.asarray(np.asarray(patch.s2_dense)))
+            solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
+                                     a2, cheb_k=mg_cheb_k, nu=mg_nu)
+        return solver
+    if patch is not None:
+        from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
+        a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
+                                vf_smooth_weight, patch.s2_dense)
+        # Fine- and coarse-level matvecs dominate the on-device cycle;
+        # revalue the RCM-tiled operators (ops/bsr.py, ~4.6x faster SpMV
+        # than ELL on TPU for the edge-based flow patterns) from this
+        # step's ELL system values. The pattern packs are static —
+        # built once and cached on the patch level.
+        fine_bsr = _tiled_operator(basis.ell_cols, sys_vals,
+                                   patch, "flow_bsr")
+        c1_bsr = _tiled_operator(coarse.coarse_dev.ell_cols, c_vals,
+                                 patch, "flow_bsr_c1")
+        return ThreeLevelSolver(basis.ell_cols, sys_vals, diag,
+                                coarse.coarse_dev.ell_cols, c_vals,
+                                coarse.p0_idx_dev, coarse.p0_wt_dev,
+                                a2, patch.p12_idx, patch.p12_wt,
+                                nu=4, fine_bsr=fine_bsr, c1_bsr=c1_bsr)
+    from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
+    return TwoLevelSolver(basis.ell_cols, sys_vals, diag,
+                          coarse.coarse_dev.ell_cols, c_vals,
+                          coarse.p0_idx_dev, coarse.p0_wt_dev)
+
+
 def update_optical_flow(
     basis: BasisDevice,
     coeffs: jnp.ndarray,
@@ -306,6 +396,8 @@ def update_optical_flow(
     sched_key=None,    # pin refinement schedules PER LEVEL (later levels
                        # converge slower; one shared pin overshoots early
                        # levels and misses late ones)
+    nd=None,   # solvers.multifrontal.NDContext: direct per-level solve
+               # (flow_backend="mf"; falls back to MG on breakdown)
 ):
     """One Gauss-Newton flow step (VectorField::UpdateOpticalFlow,
     VectorField.h:46-104). Host-orchestrated: jitted system assembly,
@@ -337,94 +429,28 @@ def update_optical_flow(
         x_h = spla.spsolve(mat, np.asarray(rhs, np.float64))
         x = jnp.asarray(x_h, coeffs.dtype)
         stats = CGStats(jnp.asarray(0, jnp.int32), jnp.asarray(0.0, coeffs.dtype))
-    elif coarse is not None:
+    elif coarse is not None or nd is not None:
         # Geometric MG-PCG (3-level fully on device when a patch level is
         # available, else 2-level with host coarse solves), wrapped in
-        # mixed-precision iterative refinement for float64-grade residuals.
+        # mixed-precision iterative refinement for float64-grade residuals —
+        # or, with an NDContext, the batched multifrontal DIRECT solve
+        # (solvers/multifrontal.py): one numeric refactorization + three
+        # 1-solve refinement rounds per level, MG as the breakdown fallback.
         from meshopticalflow_tpu.solvers.refine import refine_loop
-        c_vals, c_diag = coarse_system_vals(coarse.coarse_dev, d_blocks, scale,
-                                            vf_smooth_weight)
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if backend == "halo" and device_mesh is not None:
-            # Halo-exchange sharded form of the production 2-level cycle
-            # (parallel/halo.py): row-sharded fine level with ppermute
-            # halos, replicated exact banded c1 solve. Opt-in
-            # (flow_backend="halo") under a device mesh.
-            from meshopticalflow_tpu.parallel.halo import flow_halo_solver
-            solver = flow_halo_solver(device_mesh, basis.ell_cols, sys_vals,
-                                      diag, coarse.coarse_dev.ell_cols,
-                                      c_vals, coarse.p0_idx, coarse.p0_wt,
-                                      nu=mg_nu)
-        elif patch is not None and backend == "pallas":
-            # Round-2 production path: Pallas block-ELL kernels, tile-space
-            # state, bf16 smoothing (solvers/pallas_mg.py). The pattern pack
-            # is static per problem — built once, cached on the patch level.
-            from meshopticalflow_tpu.solvers.pallas_mg import (
-                PallasMG3Solver, build_mg_pack)
-            pack = patch.pallas_pack
-            if pack is None:
-                import numpy as np
-                pack = build_mg_pack(np.asarray(basis.ell_cols),
-                                     np.asarray(coarse.coarse_dev.ell_cols),
-                                     coarse.p0,
-                                     np.asarray(patch.p12_idx),
-                                     np.asarray(patch.p12_wt),
-                                     int(patch.s2_dense.shape[0]),
-                                     cache_key=patch.artifact_key)
-                patch.pallas_pack = pack
-            c1_band = None
-            if mg_coarse_exact:
-                from meshopticalflow_tpu.solvers.pallas_mg import build_c1_band
-                c1_band = patch.c1_band
-                if c1_band is None:
-                    key = patch.artifact_key
-                    c1_band = build_c1_band(
-                        pack, np.asarray(coarse.coarse_dev.ell_cols),
-                        cache_key=(key + ".c1band") if key else "")
-                    patch.c1_band = c1_band
-            solver = None
-            if c1_band is not None:
-                # With the exact banded c1 the dense patch coarsest is never
-                # touched — skip assembling/uploading it entirely.
-                solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
-                                         None, cheb_k=mg_cheb_k, nu=mg_nu,
-                                         c1_band=c1_band,
-                                         cheb_fine_deg=mg_fine_cheb,
-                                         c1_bf16=mg_c1_bf16)
-                if solver.c1_l_blocks is None:
-                    solver = None   # factorization breakdown: fall back
-            if solver is None:
-                # np.asarray materializes a LazyNpzArray fallback block
-                # (utils/artifacts.py) before the jit boundary.
-                a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
-                                        scale, vf_smooth_weight,
-                                        jnp.asarray(np.asarray(patch.s2_dense)))
-                solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
-                                         a2, cheb_k=mg_cheb_k, nu=mg_nu)
-        elif patch is not None:
-            from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
-            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
-                                    vf_smooth_weight, patch.s2_dense)
-            # Fine- and coarse-level matvecs dominate the on-device cycle;
-            # revalue the RCM-tiled operators (ops/bsr.py, ~4.6x faster SpMV
-            # than ELL on TPU for the edge-based flow patterns) from this
-            # step's ELL system values. The pattern packs are static —
-            # built once and cached on the patch level.
-            fine_bsr = _tiled_operator(basis.ell_cols, sys_vals,
-                                       patch, "flow_bsr")
-            c1_bsr = _tiled_operator(coarse.coarse_dev.ell_cols, c_vals,
-                                     patch, "flow_bsr_c1")
-            solver = ThreeLevelSolver(basis.ell_cols, sys_vals, diag,
-                                      coarse.coarse_dev.ell_cols, c_vals,
-                                      coarse.p0_idx_dev, coarse.p0_wt_dev,
-                                      a2, patch.p12_idx, patch.p12_wt,
-                                      nu=4, fine_bsr=fine_bsr, c1_bsr=c1_bsr)
-        else:
-            from meshopticalflow_tpu.solvers.twolevel import TwoLevelSolver
-            solver = TwoLevelSolver(basis.ell_cols, sys_vals, diag,
-                                    coarse.coarse_dev.ell_cols, c_vals,
-                                    coarse.p0_idx_dev, coarse.p0_wt_dev)
+        solver = _build_mg_solver = None
+        if coarse is not None:
+            def _build_mg_solver():
+                return _make_mg_solver(
+                    basis, coarse, patch, d_blocks, scale, vf_smooth_weight,
+                    sys_vals, diag, backend, device_mesh, mg_cheb_k, mg_nu,
+                    mg_fine_cheb, mg_coarse_exact, mg_c1_bf16)
+        if nd is not None and device_mesh is None:
+            from meshopticalflow_tpu.solvers.multifrontal import NDSolver
+            solver = NDSolver(nd.pack, nd.levels_dev, sys_vals)
+        if solver is None:
+            solver = _build_mg_solver()
         def _run_solver(solver):
             # tol 3e-9 overall; per-round inner tolerance is adaptive with a
             # 3e-6 floor — each round then runs ~100 iterations and the
@@ -442,6 +468,27 @@ def update_optical_flow(
             if not refine:
                 return solver.solve(rhs, x0=x0, tol=cg_tol,
                                     max_iters=min(cg_max_iters, 200))
+            dsched = getattr(solver, "direct_schedule", None)
+            if dsched is not None:
+                # Direct multifrontal: the round schedule is known a priori
+                # (three 1-solve rounds), so every level takes the two-fetch
+                # pipelined path; the factorization fuses into round 1's
+                # dispatch. A warm start is pointless against an exact
+                # solve — x0 is ignored. Non-df32 backends (f64 CPU oracle
+                # runs) use the adaptive loop with host f64 residuals.
+                from meshopticalflow_tpu.solvers.df32 import df32_probe
+                inner = lambda r, tol_inner, rn2=None: solver.solve(r)
+                if (jnp.dtype(rhs.dtype) == jnp.float32
+                        and df32_probe(jax.default_backend())):
+                    from meshopticalflow_tpu.solvers.refine import \
+                        refine_fixed_pipelined
+                    x, stats, _ = refine_fixed_pipelined(
+                        basis.ell_cols, sys_vals, rhs, solver.solve_fixed,
+                        dsched, tol=refine_tol, inner_solve=inner,
+                        inner_floor=refine_floor)
+                    return x, stats
+                return refine_loop(basis.ell_cols, sys_vals, rhs, inner,
+                                   tol=refine_tol, inner_floor=refine_floor)
             sched = _flow_schedule_for(solver, rhs, x0, refine_tol,
                                        sched_key)
             if sched is not None:
@@ -483,20 +530,38 @@ def update_optical_flow(
 
         try:
             x, stats = _run_solver(solver)
+            if getattr(solver, "direct_schedule", None) is not None:
+                rel = float(stats.rel_residual)
+                if not rel <= max(100 * refine_tol, 1e-7):
+                    # f32 Cholesky breakdown (NaN factors) or an accuracy
+                    # miss on a near-singular system: refactor under a
+                    # relative diagonal shift (the banded c1's escalation
+                    # contract); if that still misses, hand the level to
+                    # the MG path.
+                    from meshopticalflow_tpu.solvers.multifrontal import \
+                        NDSolver
+                    solver = NDSolver(nd.pack, nd.levels_dev, sys_vals,
+                                      diag_slot=basis.diag_slot,
+                                      shift_rel=1e-6)
+                    x, stats = _run_solver(solver)
+                    rel = float(stats.rel_residual)
+                    if (not rel <= max(100 * refine_tol, 1e-7)
+                            and _build_mg_solver is not None):
+                        solver = _build_mg_solver()
+                        x, stats = _run_solver(solver)
         except Exception as exc:
             from meshopticalflow_tpu.solvers.pallas_mg import (
-                BandedBreakdownError, PallasMG3Solver)
+                BandedBreakdownError)
             if not isinstance(exc, BandedBreakdownError):
                 raise
             # Deferred banded c1 check failed at every shift mid-solve:
             # rebuild with the dense-patch coarsest (the pre-round-4 eager
-            # path's fallback) and redo the solve.
-            import numpy as np
-            a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
-                                    scale, vf_smooth_weight,
-                                    jnp.asarray(np.asarray(patch.s2_dense)))
-            solver = PallasMG3Solver(solver.pack, sys_vals, diag, c_vals,
-                                     c_diag, a2, cheb_k=mg_cheb_k, nu=mg_nu)
+            # path's fallback — _make_mg_solver without the exact-c1 flag
+            # reuses the cached pattern pack) and redo the solve.
+            solver = _make_mg_solver(
+                basis, coarse, patch, d_blocks, scale, vf_smooth_weight,
+                sys_vals, diag, backend, device_mesh, mg_cheb_k, mg_nu,
+                mg_fine_cheb, False, mg_c1_bf16)
             x, stats = _run_solver(solver)
         LAST_FLOW_SOLVE["gb"] = (float(stats.iterations) * solver.gb_per_iter
                                  if hasattr(solver, "gb_per_iter") else None)

@@ -427,7 +427,16 @@ class NDSolver:
     Mirrors the inner-solver contract of solvers/refine.py: ``solve(r, ...)``
     returns (x, CGStats) where ``iterations`` counts triangular solves (the
     refinement observability treats direct rounds as 1-iteration solves).
+
+    ``direct_schedule`` drives the two-fetch fixed refinement
+    (refine.refine_fixed_pipelined): three 1-solve rounds reach 1e-10..1e-12
+    relative residual on the production f32 systems (measured on chip,
+    bench_runs/round4_exp_mf_2026-08-19.jsonl) — comfortably under the
+    pipeline's 3e-9 tolerance, with the factorization fused into the first
+    round's dispatch.
     """
+
+    direct_schedule = (1, 1, 1)
 
     def __init__(self, pack: NDPack, levels_dev, sys_vals,
                  diag_slot=None, shift_rel: float = 0.0):
@@ -455,8 +464,37 @@ class NDSolver:
             return x
         return _solve_jit(self.levels_dev, self.factors, r)
 
+    def solve_fixed(self, r, iters):
+        """Fixed-round inner solve for refine_fixed_pipelined: a direct
+        solve ignores the iteration budget (one triangular sweep pair)."""
+        del iters
+        return self.solve_direct(r.astype(self.sys_vals.dtype)).astype(r.dtype)
+
     def solve(self, r, tol=None, max_iters=None, b_norm2=None, x0=None):
         from meshopticalflow_tpu.solvers.cg import CGStats
         x = self.solve_direct(r.astype(self.sys_vals.dtype)).astype(r.dtype)
         return x, CGStats(jnp.asarray(1, jnp.int32),
                           jnp.asarray(0.0, r.dtype))
+
+
+@dataclasses.dataclass
+class NDContext:
+    """Per-problem multifrontal state for the flow pipeline: the symbolic
+    pack (host, disk-cached) and its device tables, built once — every level
+    refactorizes numerically on the same static structure (the reference's
+    amortized symbolic analysis, LinearSolvers.h:294-299)."""
+
+    pack: NDPack
+    levels_dev: list
+    diag_slot: object = None
+
+
+def build_nd_context(tris, verts, p_idx, ell_cols, n_coeffs: int,
+                     diag_slot=None, leaf: int = 64,
+                     cache_key: str = "") -> NDContext:
+    """Symbolic analysis + device upload for one problem's flow pattern."""
+    pos = dof_positions(np.asarray(tris), np.asarray(verts),
+                        np.asarray(p_idx), n_coeffs)
+    pack = build_nd_pack(np.asarray(ell_cols), pos, leaf=leaf,
+                         cache_key=cache_key)
+    return NDContext(pack=pack, levels_dev=pack.device(), diag_slot=diag_slot)

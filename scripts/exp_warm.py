@@ -1,12 +1,13 @@
-"""On-chip A/B experiment over one FlowConfig boolean at bench scale.
+"""On-chip A/B experiment over one FlowConfig field at bench scale.
 
-Runs interleaved (on, off, on, off, ...) full pipeline draws of the 2K
+Runs interleaved (A, B, A, B, ...) full pipeline draws of the 2K
 bench workload in ONE process (the only apples-to-apples protocol on the
 throttle-lottery axon tunnel; memory/axon-tpu-quirks.md), reporting per-draw
 level solve seconds, refinement round trails, and total flow iterations.
 
     python scripts/exp_warm.py [--pairs 2] [--size 2048] [--levels 10] \
-        [--toggle flow_warm_start | mg_c1_bf16 | ...]
+        [--toggle flow_warm_start | mg_c1_bf16 | ...] \
+        [--values mf,auto]   # string-valued fields (e.g. flow_backend)
 """
 
 import argparse
@@ -47,7 +48,9 @@ def main():
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--levels", type=int, default=10)
     ap.add_argument("--toggle", default="flow_warm_start",
-                    help="FlowConfig boolean to A/B")
+                    help="FlowConfig field to A/B")
+    ap.add_argument("--values", default="",
+                    help="comma-separated pair of values (default: True,False)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -65,8 +68,9 @@ def main():
 
     from meshopticalflow_tpu.config import FlowConfig
     base = FlowConfig(levels=args.levels)
+    values = args.values.split(",") if args.values else (True, False)
     for i in range(args.pairs):
-        for on in (True, False):
+        for on in values:
             cfg = dataclasses.replace(base, **{args.toggle: on})
             rec = one(cfg, paths)
             rec.update(draw=i, toggle=args.toggle, on=on)

@@ -91,6 +91,32 @@ def test_boundary_mesh_conformal_semidefinite():
     assert rel < 1e-9
 
 
+def test_pipeline_mf_backend_matches_mg():
+    """flow_backend="mf" through the FULL pipeline (production MG config)
+    lands on the same trajectory as the iterative path: both refine every
+    level solve to the same 3e-9 outer tolerance, so the nonlinear
+    coarse-to-fine trajectories must agree to solver-noise level."""
+    import dataclasses
+
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+
+    cfg = FlowConfig(dog_weight=0.0, levels=4)
+    base = synthetic_sphere_problem(cfg, hierarchy=True)
+    res_mg = base.run()
+    prob = synthetic_sphere_problem(
+        dataclasses.replace(cfg, flow_backend="mf"), hierarchy=True)
+    assert prob._ensure_nd() is not None   # vertices present -> mf engages
+    res_mf = prob.run()
+
+    tf_mg, tf_mf = np.asarray(res_mg.tfield), np.asarray(res_mf.tfield)
+    scale = np.abs(tf_mg).max()
+    assert np.abs(tf_mf - tf_mg).max() <= 1e-4 * scale
+    err_mg = res_mg.metrics[-1]["alignment_error"]
+    err_mf = res_mf.metrics[-1]["alignment_error"]
+    assert abs(err_mf - err_mg) <= 1e-5 * abs(err_mg) + 1e-12
+
+
 def test_ndsolver_f32_with_refinement(sphere):
     """The production shape: f32 factorization wrapped in iterative
     refinement reaches the flow pipeline's outer tolerance."""
