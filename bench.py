@@ -116,9 +116,13 @@ def _device_memory_stats():
 
 def _archive_full_record(record):
     """Write the complete per-draw record to bench_runs/ and return the
-    artifact filename (the compact driver line references it)."""
+    artifact filename (the compact driver line references it).
+    BENCH_ARCHIVE_DIR redirects the archive — the protocol tests set it to
+    a tmp dir so stub records never masquerade as measurements in
+    bench_runs/ (that HAS happened; memory/repo-state-round3.md)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    outdir = os.path.join(here, "bench_runs")
+    outdir = os.environ.get("BENCH_ARCHIVE_DIR") \
+        or os.path.join(here, "bench_runs")
     os.makedirs(outdir, exist_ok=True)
     stamp = time.strftime("%Y-%m-%dT%H%M%S")
     name = f"driver_{record['metric']}_{stamp}.json"

@@ -8,7 +8,10 @@ import pytest
 
 
 @pytest.fixture
-def bench_mod():
+def bench_mod(tmp_path, monkeypatch):
+    # Stub draws must archive to a tmp dir, never bench_runs/ — synthetic
+    # driver_*.json records there read as real measurements.
+    monkeypatch.setenv("BENCH_ARCHIVE_DIR", str(tmp_path))
     path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
     spec = importlib.util.spec_from_file_location("bench_under_test", path)
     mod = importlib.util.module_from_spec(spec)
