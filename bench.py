@@ -59,23 +59,36 @@ def _heartbeat(stage):
 
 
 def _last_measured():
-    """Summary of the newest archived full bench artifact (bench_runs/) —
-    attached to failure records so a tunnel outage at bench time doesn't
-    erase the existence of a real measurement from the same round."""
+    """Summary of the newest archived full-protocol bench artifact
+    (bench_runs/) — attached to failure records so a tunnel outage at bench
+    time doesn't erase the existence of a real measurement from the same
+    round. Ordered by the timestamp embedded in the FILENAME (mtimes are all
+    equal after a fresh clone) and skipping sub-protocol records (<5 draws —
+    experiment captures must not stand in for the official number)."""
     import glob
+    import re
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "bench_runs", "*.json")),
-                   key=os.path.getmtime)
-    if not paths:
-        return None
-    try:
-        with open(paths[-1]) as f:
-            d = json.load(f)
-        return {"artifact": os.path.basename(paths[-1]),
-                "value": d.get("value"), "unit": d.get("unit"),
-                "vs_baseline": d.get("vs_baseline")}
-    except Exception:
-        return None
+
+    def _stamp(p):
+        m = re.search(r"(\d{4}-\d{2}-\d{2}T?\d*)", os.path.basename(p))
+        return (m.group(1) if m else "", os.path.getmtime(p))
+
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "bench_runs", "*.json")),
+                    key=_stamp, reverse=True):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except Exception:
+            continue
+        draws = d.get("draw_e2e_texels_per_sec") or []
+        rec = {"artifact": os.path.basename(p), "value": d.get("value"),
+               "unit": d.get("unit"), "vs_baseline": d.get("vs_baseline")}
+        if d.get("value") is not None and len(draws) >= 5:
+            return rec
+        if best is None and d.get("value") is not None:
+            best = rec   # fallback: newest parseable record of any protocol
+    return best
 
 
 # Reference binary end-to-end seconds measured on this machine's host CPU
@@ -265,6 +278,12 @@ def main():
         print(f"[bench] draw {i + 1}/{draws}: "
               f"{json.dumps(results[-1], default=float)}", file=sys.stderr,
               flush=True)
+        if i == 0:
+            # Backend is live: record the platform-version sidecar for the
+            # relaunch-miss forensics (utils/jitcache.py).
+            from meshopticalflow_tpu.utils.jitcache import \
+                record_platform_sidecar_if_ready
+            record_platform_sidecar_if_ready()
     _progress["done"] = True
 
     if not results:
@@ -284,6 +303,11 @@ def main():
         "unit": "texels/s",
         "vs_baseline": round(value / reference_texels_per_sec, 4),
         "atlas": size, "levels": levels, "protocol": protocol,
+        # Configuration provenance (ADVICE r4): an experimental-backend or
+        # short-protocol capture must be distinguishable from a regression
+        # of the default path.
+        "flow_backend": os.environ.get("BENCH_FLOW_BACKEND", "auto"),
+        "draws_requested": draws,
         "draw_e2e_texels_per_sec": rates,
         "draw_pipeline_texels_per_sec": sorted(
             d["pipeline_texels_per_sec"] for d in results),

@@ -611,6 +611,16 @@ class FlowProblem:
         # the tunneled runtime for minutes when it races the init upload
         # burst (observed at four different fetch sites across bench runs).
         float(jnp.add(jnp.ones(()), jnp.ones(())))
+        if device_mesh is not None and config.flow_backend == "mf":
+            # The multifrontal direct solve is single-device by design (the
+            # depth-sweep extend-add chains every front batch through its
+            # parent — the wrong shape for cross-device sharding at this
+            # front size). Refuse loudly instead of silently degrading
+            # (VERDICT r4 next #8); sharded runs use the halo-exchange MG.
+            raise ValueError(
+                "flow_backend='mf' is single-device only; use "
+                "flow_backend='halo' (ppermute halo-exchange MG-PCG) or "
+                "'auto' for sharded runs")
         if device_mesh is not None and config.flow_backend != "halo":
             # GSPMD shards the jitted stages; the Pallas kernels are
             # single-device, so multi-chip runs use the XLA operator path —

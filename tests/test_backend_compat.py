@@ -39,3 +39,26 @@ def test_fetch_band_parallel_matches_asarray(rng, monkeypatch):
     np.testing.assert_array_equal(F.fetch(jnp.arange(10), parts=4),
                                   np.arange(10))
     assert F.fetch(jnp.asarray(1.5), parts=4) == 1.5
+
+
+def test_stable_platform_version_strips_build_stamp():
+    """The persistent-cache key must survive an axon service redeploy: the
+    sanitizer drops the per-build 'Built on ...' line and keeps every
+    compatibility-bearing line (utils/jitcache.py; round-4's 61-entry
+    rewrite on a warm cache dir)."""
+    from meshopticalflow_tpu.utils.jitcache import _stable_platform_version
+
+    v = ("PJRT C API\n"
+         "axon 0.1.0; SerializedExecutable v9; compile-cache v14; compat c49\n"
+         "TFRT TPU v5 lite\n"
+         "Built on Nov 12 2025 14:16:36 (1762985796) cl/831091709")
+    s = _stable_platform_version(v)
+    assert "Built on" not in s
+    assert "compat c49" in s and "TFRT TPU v5 lite" in s
+    # A redeploy (new stamp, same compat) maps to the SAME key material...
+    assert _stable_platform_version(
+        v.replace("Nov 12 2025", "Dec 01 2025").replace("831091709", "9")) == s
+    # ...while a compat bump still rotates it.
+    assert _stable_platform_version(v.replace("compat c49", "compat c50")) != s
+    # Non-axon strings (no build stamp) pass through unchanged.
+    assert _stable_platform_version("cpu v1") == "cpu v1"

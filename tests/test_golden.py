@@ -89,6 +89,27 @@ def test_golden_texture_cube(tmp_path):
     assert exact > 0.95, f"texture golden drifted: exact-pixel fraction {exact:.4f}"
 
 
+def test_golden_texture_cube_mf(tmp_path):
+    """The multifrontal direct flow solve (flow_backend="mf",
+    solvers/multifrontal.py) reproduces the SAME reference golden as the
+    MG-PCG path — the trajectory-parity gate for making the direct solver
+    a production default (VERDICT r4 next #1b). Same fixture/tolerances as
+    test_golden_texture_cube."""
+    from meshopticalflow_tpu.io.png import read_png_rgb
+    out = str(tmp_path / "out.png")
+    r = _run_cli(["--mesh", os.path.join(GOLD, "cube.ply"),
+                  "--in", os.path.join(GOLD, "cA.png"), os.path.join(GOLD, "cB.png"),
+                  "--out", out, "--eLength", "0.08", "--dtype", "float64",
+                  "--flowBackend", "mf"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ours = read_png_rgb(out).astype(float)
+    ref = read_png_rgb(os.path.join(GOLD, "ref_cube.png")).astype(float)
+    rmse = float(np.sqrt(((ours - ref) ** 2).mean()))
+    exact = float((ours == ref).all(-1).mean())
+    assert rmse < 2.5, f"mf texture golden drifted: rmse {rmse:.3f}"
+    assert exact > 0.95, f"mf texture golden drifted: exact fraction {exact:.4f}"
+
+
 def test_golden_texture_cube_256(tmp_path):
     """Mid-size (256^2 atlas, 1,538-vertex subdivided cube) texture-mode
     golden vs the reference binary (VERDICT r3 next #5) — CI-pins the full

@@ -312,3 +312,20 @@ def test_production_run_sharded_halo_backend_matches():
                                np.asarray(solo.tfield), atol=1e-8)
     for a, b in zip(res_solo.metrics, res_shard.metrics):
         assert abs(a["alignment_error"] - b["alignment_error"]) < 1e-6
+
+
+def test_mf_backend_under_device_mesh_raises():
+    """flow_backend="mf" is single-device only: constructing a sharded
+    problem must refuse with a pointer at the halo backend, never silently
+    degrade to another solver (VERDICT r4 next #8)."""
+    import pytest
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.parallel.sharding import make_device_mesh
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+
+    cfg = FlowConfig(levels=2, dog_weight=0.0, artifact_cache=False,
+                     flow_backend="mf")
+    mesh = make_device_mesh(8)
+    with pytest.raises(ValueError, match="halo"):
+        synthetic_sphere_problem(cfg, subdiv=2, hierarchy=True,
+                                 device_mesh=mesh)
