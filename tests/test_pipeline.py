@@ -218,3 +218,67 @@ def test_flow_rounds_metric_formats_pinned_rounds():
     from meshopticalflow_tpu.flow.pipeline import _format_rounds
     assert _format_rounds([(48, None), (48, 1.6e-4)]) == \
         "48@pinned; 48@1.6e-04"
+
+
+def test_device_state_reused_across_constructions(tmp_path, monkeypatch):
+    """Constructing the SAME texture problem twice in one process serves the
+    device state (basis arrays, texel table, textures, signals) from the
+    process devcache (utils/devcache.py; VERDICT r4 next #4) — and the
+    second problem's trajectory is identical."""
+    from meshopticalflow_tpu.io.ply import write_ply_textured
+    from meshopticalflow_tpu.io.png import write_png_rgb
+    from meshopticalflow_tpu.utils import devcache
+
+    monkeypatch.setenv("MESHFLOW_CACHE", str(tmp_path / "artifacts"))
+    devcache.clear()
+    n = 7
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                         indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], 1)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b = i * n + j, (i + 1) * n + j
+            c, d = (i + 1) * n + j + 1, i * n + j + 1
+            tris += [[a, b, c], [a, c, d]]
+    tris = np.array(tris, np.int32)
+    uvs = verts[tris][:, :, :2]
+    size = 32
+    uu, vv = np.meshgrid(np.arange(size) / (size - 1),
+                         np.arange(size) / (size - 1), indexing="xy")
+    img = np.flipud(np.stack([255 * np.exp(
+        -(((uu - 0.45) ** 2 + (vv - 0.5) ** 2) / 0.02))] * 3, -1)) \
+        .astype(np.uint8)
+    mesh_path = str(tmp_path / "m.ply")
+    a_path, b_path = str(tmp_path / "A.png"), str(tmp_path / "B.png")
+    write_ply_textured(mesh_path, verts, tris, uvs)
+    write_png_rgb(a_path, img)
+    write_png_rgb(b_path, np.roll(img, 3, axis=1))
+
+    # dog_weight > 0: the preprocessed-signals artifact key (and hence its
+    # devcache entry) only exists for the DoG path — the production config.
+    cfg = FlowConfig(levels=2, dtype="float64", dog_weight=1.0,
+                     subdivide_edge_length=0.0, cg_tol=1e-9,
+                     cg_max_iters=2000)
+    p1 = FlowProblem.from_texture_inputs(mesh_path, (a_path, b_path), cfg)
+    r1 = p1.run()
+    p2 = FlowProblem.from_texture_inputs(mesh_path, (a_path, b_path), cfg)
+    # Identity, not equality: the buffers must be the SAME device arrays.
+    assert p2.arrays.basis.ell_cols is p1.arrays.basis.ell_cols
+    assert p2.src_t is p1.src_t and p2.src_p is p1.src_p
+    assert p2.textures is p1.textures
+    assert p2.arrays.signals is p1.arrays.signals
+    r2 = p2.run()
+    np.testing.assert_array_equal(np.asarray(r1.tfield),
+                                  np.asarray(r2.tfield))
+    assert [m["alignment_error"] for m in r1.metrics] == \
+        [m["alignment_error"] for m in r2.metrics]
+
+    # Disabled cache -> fresh buffers, same numbers.
+    monkeypatch.setenv("MESHFLOW_DEVCACHE", "0")
+    p3 = FlowProblem.from_texture_inputs(mesh_path, (a_path, b_path), cfg)
+    assert p3.src_t is not p1.src_t
+    r3 = p3.run()
+    np.testing.assert_array_equal(np.asarray(r1.tfield),
+                                  np.asarray(r3.tfield))
+    devcache.clear()
