@@ -98,6 +98,30 @@ def _last_measured():
 # 2K per-texel rate.
 _REFERENCE_SECONDS = {2048: 181.0, 4096: 258.0}
 
+# Multi-threaded reference bound (VERDICT r4 next #3). This host has ONE
+# physical core (nproc=1), so the reference's default
+# --threads=omp_get_max_threads() IS 1 here and a real MT wall time cannot
+# be measured. What CAN be measured is the Amdahl floor: the reference's 2K
+# run is 88% serial Eigen-3.2 SimplicialLLT numeric factorization +
+# back-substitution (206.4 s of a 234.1 s single-occupant e2e run,
+# bench_runs/ref2k_stages_r5.log — Eigen's sparse Cholesky is
+# single-threaded at any --threads), so an infinitely-parallel build of
+# the same binary could not beat that serial part. The floor below scales
+# that measured serial fraction onto the official 181 s baseline e2e
+# (the r5 capture window ran ~29% slower than the window the official
+# number was taken in): 0.882 * 181 = 159.6 s. vs_baseline_mt_est in the
+# bench detail divides against it. The unmeasurable remainder is MKL
+# Pardiso (multithreaded supernodal factorization — the README's
+# EIGEN_USE_MKL_ALL hook); see BASELINE.md.
+_REFERENCE_MT_FLOOR_SECONDS: dict = {2048: 159.6}
+
+
+def _mt_est(size, value):
+    floor_s = _REFERENCE_MT_FLOOR_SECONDS.get(size)
+    if not floor_s:
+        return None
+    return round(value / (size * size / floor_s), 4)
+
 
 def _reference_rate(size):
     ref_s = _REFERENCE_SECONDS.get(size)
@@ -308,6 +332,7 @@ def main():
         # of the default path.
         "flow_backend": os.environ.get("BENCH_FLOW_BACKEND", "auto"),
         "draws_requested": draws,
+        "vs_baseline_mt_est": _mt_est(size, value),
         "draw_e2e_texels_per_sec": rates,
         "draw_pipeline_texels_per_sec": sorted(
             d["pipeline_texels_per_sec"] for d in results),
@@ -329,6 +354,7 @@ def main():
             "final_alignment_error": results[-1]["final_alignment_error"],
             "triangles": results[-1]["triangles"],
             "device_memory": full["device_memory"],
+            "vs_baseline_mt_est": _mt_est(size, value),
             "full_record": artifact,
         },
     }
