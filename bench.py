@@ -112,8 +112,10 @@ _REFERENCE_SECONDS = {2048: 181.0, 4096: 258.0}
 # number was taken in): 0.882 * 181 = 159.6 s. vs_baseline_mt_est in the
 # bench detail divides against it. The unmeasurable remainder is MKL
 # Pardiso (multithreaded supernodal factorization — the README's
-# EIGEN_USE_MKL_ALL hook); see BASELINE.md.
-_REFERENCE_MT_FLOOR_SECONDS: dict = {2048: 159.6}
+# EIGEN_USE_MKL_ALL hook); see BASELINE.md. 4K floor computed the same
+# way (bench_runs/ref4k_stages_r5.log: 224.2 s serial of 265.4 s e2e,
+# 84.5% of the official 258 s).
+_REFERENCE_MT_FLOOR_SECONDS: dict = {2048: 159.6, 4096: 218.0}
 
 
 def _mt_est(size, value):
