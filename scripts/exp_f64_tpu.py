@@ -32,9 +32,16 @@ def probe_raw():
     rec = {"probe": "raw", "backend": jax.default_backend()}
     try:
         t0 = time.time()
-        a = jnp.linspace(0, 1, 1 << 20, dtype=jnp.float64)
+        n = 1 << 20
+        a = jnp.linspace(0, 1, n, dtype=jnp.float64)
         s = float(jnp.vdot(a, a))
-        rec["dot_ok"] = abs(s - (1 << 20) / 3) / s < 1e-12
+        # Exact value: sum i^2/(n-1)^2 = n(2n-1)/(6(n-1)) — NOT n/3; the
+        # original n/3 comparison had a built-in 4.8e-7 relative deviation,
+        # so its 1e-12 tolerance could never pass (round-5 probe bug; the
+        # 2026-08-20 "dot_ok: false" record is that bug, not an f64 failure).
+        exact = n * (2 * n - 1) / (6 * (n - 1))
+        rec["dot_rel_err"] = abs(s - exact) / exact
+        rec["dot_ok"] = rec["dot_rel_err"] < 1e-12
         rec["dot_s"] = round(time.time() - t0, 3)
     except Exception as exc:  # noqa: BLE001
         rec["dot_error"] = repr(exc)[:300]
