@@ -87,6 +87,9 @@ class FlowConfig:
     flow_mg_levels: int = 3
     # Flow-solve SpMV backend: "pallas" (block-ELL kernels, tile-space MG,
     # bf16 smoothing), "xla" (gather+einsum), "auto" = pallas on TPU,
+    # (float64 problems always resolve to "xla": Mosaic has no f64
+    # lowering; XLA:TPU runs f64 natively — kernels/pallas_spmv.py
+    # resolve_flow_backend),
     # "mf" = batched multifrontal DIRECT solve on the nested-dissection
     # schedule (solvers/multifrontal.py; single-device, needs the vertex
     # embedding; falls back to the MG path on factorization breakdown),

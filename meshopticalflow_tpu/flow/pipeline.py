@@ -86,9 +86,8 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
         stacked = jnp.concatenate([sig[0], sig[1]], axis=1)        # (V, 6)
         if vcoarse is not None:
             from meshopticalflow_tpu.flow.signal import _dog_renormalize, _smooth_system
-            backend = config.flow_backend
-            if backend == "auto":
-                backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            from meshopticalflow_tpu.kernels.pallas_spmv import resolve_flow_backend
+            backend = resolve_flow_backend(config.flow_backend, stacked.dtype)
             if vpatch is not None and backend == "pallas":
                 class _Arrays:
                     pass
@@ -103,7 +102,13 @@ def _preprocess_signals(smooth_ops: SmoothingOperators, raw: jnp.ndarray,
                 sys_vals, b, diag = _smooth_system(smooth_ops, stacked,
                                                    config.dog_smooth)
                 c_vals = vcoarse.m0_vals + config.dog_smooth * vcoarse.k0_vals
-                a2 = vpatch.m2_dense + config.dog_smooth * vpatch.k2_dense
+                # materialize: the patch blocks can be host-side (or
+                # LazyNpzArray) f32 under the exact-c1 config — this XLA
+                # branch converts and casts to the working dtype itself
+                # (the pallas path does so in _vertex_pallas_solver)
+                a2 = (jnp.asarray(vpatch.m2_dense, stacked.dtype)
+                      + config.dog_smooth
+                      * jnp.asarray(vpatch.k2_dense, stacked.dtype))
                 solver = ThreeLevelSolver(smooth_ops.cols, sys_vals, diag,
                                           vcoarse.cols0, c_vals, vcoarse.p0_idx,
                                           vcoarse.p0_wt, a2, vpatch.p12_idx,
@@ -269,9 +274,8 @@ def _stage_smooth_pallas(arrays: ProblemArrays, config: FlowConfig, solver, b):
 def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
                   vcoarse=None, vpatch=None):
     _LAST_SMOOTH_GB[0] = None
-    backend = config.flow_backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from meshopticalflow_tpu.kernels.pallas_spmv import resolve_flow_backend
+    backend = resolve_flow_backend(config.flow_backend, arrays.signals.dtype)
     if vcoarse is not None and vpatch is not None and backend == "pallas":
         from meshopticalflow_tpu.solvers.pallas_mg import BandedBreakdownError
         solver, b = _vertex_pallas_solver(arrays, vcoarse, vpatch, s_weight)
@@ -290,7 +294,9 @@ def _stage_smooth(arrays: ProblemArrays, s_weight, config: FlowConfig,
         c_vals = vcoarse.m0_vals + s_weight * vcoarse.k0_vals
         if vpatch is not None:
             from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
-            a2 = vpatch.m2_dense + s_weight * vpatch.k2_dense
+            dt = arrays.signals.dtype
+            a2 = (jnp.asarray(vpatch.m2_dense, dt)
+                  + s_weight * jnp.asarray(vpatch.k2_dense, dt))
             solver = ThreeLevelSolver(arrays.smooth_ops.cols, sys_vals, diag,
                                       vcoarse.cols0, c_vals, vcoarse.p0_idx,
                                       vcoarse.p0_wt, a2, vpatch.p12_idx,
@@ -942,9 +948,8 @@ class FlowProblem:
         # The dense patch-coarsest blocks are FALLBACK-only under the
         # banded-exact coarse solve — defer their (~200 MB) payload reads
         # to first use (utils/artifacts.LazyNpzArray).
-        backend = cfg.flow_backend
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from meshopticalflow_tpu.kernels.pallas_spmv import resolve_flow_backend
+        backend = resolve_flow_backend(cfg.flow_backend, self.dtype)
         defer_dense = cfg.mg_coarse_exact and backend == "pallas" \
             and self.device_mesh is None
 

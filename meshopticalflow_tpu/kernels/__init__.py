@@ -22,6 +22,7 @@ from meshopticalflow_tpu.kernels.pallas_spmv import (
     BlockEllPattern,
     PallasEll,
     pack_pattern,
+    resolve_flow_backend,
     spmv_tiles,
     spmv_tiles_multi,
 )

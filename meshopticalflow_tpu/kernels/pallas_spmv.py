@@ -56,6 +56,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def resolve_flow_backend(backend: str, dtype) -> str:
+    """Resolve the flow/smooth backend for a working dtype.
+
+    "auto" picks pallas on TPU, xla elsewhere. float64 NEVER resolves to
+    pallas: Mosaic has no f64 lowering ('failed to legalize operation
+    func.func', measured 2026-08-20 on the axon TPU), while plain XLA:TPU
+    executes f64 natively at ~2.2x the f32 matmul cost
+    (bench_runs/round5_exp_f64_2026-08-20.jsonl) — so f64 device runs take
+    the gather+einsum XLA path end-to-end, matching the reference's
+    double-precision default (OpticalFlow.cpp:1113-1115) on chip."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas" and jnp.dtype(dtype) == jnp.float64:
+        backend = "xla"
+    return backend
+
+
 def _spmv_kernel(tc_ref, x_ref, vals_ref, o_ref, *, k: int, r: int):
     """R block rows: y[row] = sum_k x_slice(1,128) @ vals_t[row, k]."""
     i = pl.program_id(0)

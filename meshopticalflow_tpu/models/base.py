@@ -193,6 +193,10 @@ def finalize_flow_step(basis: BasisDevice, coeffs, x, dt_vals, rhs):
     return new_coeffs, prolong(basis, new_coeffs)
 
 
+_TILED_OP_MAX_BYTES = 1 << 30  # padded-tile budget; ~3x that is live
+                               # during revaluation (zeros + scatter out)
+
+
 def _tiled_operator(ell_cols, ell_vals, cache_holder, attr: str):
     """RCM-tiled operator (ops/bsr.py) revalued from a padded-ELL system.
 
@@ -200,12 +204,19 @@ def _tiled_operator(ell_cols, ell_vals, cache_holder, attr: str):
     ELL-slot -> tile-slot scatter map) is computed once per problem and
     cached on ``cache_holder.<attr>``; each Gauss-Newton step only
     scatter-adds the fresh ELL values into a zeroed tile array on device.
+
+    Returns None (cached) when the padded tile array would exceed
+    ``_TILED_OP_MAX_BYTES`` for this dtype — at the cube fixture's finest
+    level the f64 pack is ~8.5 GB and OOMs a 16 GB chip (measured
+    2026-08-20); callers fall back to plain ELL SpMV, which
+    solvers/mg3.ThreeLevelSolver accepts (fine_bsr/c1_bsr=None).
     """
     import numpy as np
 
     from meshopticalflow_tpu.ops.bsr import (BlockEllDevice,
                                              block_ell_from_scipy, entry_slots)
 
+    itemsize = jnp.dtype(ell_vals.dtype).itemsize
     cached = getattr(cache_holder, attr, None)
     if cached is None:
         import scipy.sparse as sp
@@ -216,12 +227,19 @@ def _tiled_operator(ell_cols, ell_vals, cache_holder, attr: str):
         pattern = sp.csr_matrix((np.ones(n * w), (rows_h, cols_h.ravel())),
                                 shape=(n, n))
         hb = block_ell_from_scipy(pattern, 32, 128)
+        if int(np.prod(hb.vals.shape)) * itemsize > _TILED_OP_MAX_BYTES:
+            setattr(cache_holder, attr, ("skip",))
+            return None
         slots = entry_slots(hb, rows_h, cols_h.ravel())
         dev = BlockEllDevice.from_host(hb)
         cached = (dev.tile_cols, dev.perm, dev.inv_perm,
                   jnp.asarray(slots, jnp.int32), hb.vals.shape, n)
         setattr(cache_holder, attr, cached)
+    if cached == ("skip",):
+        return None
     tile_cols, perm, inv_perm, slots, shape, n = cached
+    if int(np.prod(shape)) * itemsize > _TILED_OP_MAX_BYTES:
+        return None   # pack was built for a narrower dtype than this call's
     vals = jnp.zeros(int(np.prod(shape)), ell_vals.dtype) \
         .at[slots].add(ell_vals.ravel()).reshape(shape)
     return BlockEllDevice(tile_cols, vals, perm, inv_perm, n)
@@ -437,8 +455,8 @@ def update_optical_flow(
         # (solvers/multifrontal.py): one numeric refactorization + three
         # 1-solve refinement rounds per level, MG as the breakdown fallback.
         from meshopticalflow_tpu.solvers.refine import refine_loop
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from meshopticalflow_tpu.kernels.pallas_spmv import resolve_flow_backend
+        backend = resolve_flow_backend(backend, rhs.dtype)
         solver = _build_mg_solver = None
         if coarse is not None:
             def _build_mg_solver():

@@ -62,3 +62,47 @@ def test_stable_platform_version_strips_build_stamp():
     assert _stable_platform_version(v.replace("compat c49", "compat c50")) != s
     # Non-axon strings (no build stamp) pass through unchanged.
     assert _stable_platform_version("cpu v1") == "cpu v1"
+
+
+def test_resolve_flow_backend_f64_never_pallas():
+    """float64 problems must take the XLA SpMV path: Mosaic has no f64
+    lowering, while XLA:TPU executes f64 natively (reference default is
+    double precision, OpticalFlow.cpp:1113-1115)."""
+    from meshopticalflow_tpu.kernels.pallas_spmv import resolve_flow_backend
+
+    assert resolve_flow_backend("pallas", jnp.float64) == "xla"
+    assert resolve_flow_backend("auto", jnp.float64) == "xla"
+    # f32 keeps whatever was asked for; "auto" resolves by platform.
+    assert resolve_flow_backend("pallas", jnp.float32) == "pallas"
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert resolve_flow_backend("auto", jnp.float32) == expected
+    # The direct multifrontal backend is dense-XLA and dtype-generic —
+    # it is NOT rewritten (solvers/multifrontal.py handles f64).
+    assert resolve_flow_backend("mf", jnp.float64) == "mf"
+
+
+def test_tiled_operator_skips_oversized_packs(monkeypatch):
+    """The RCM-tiled pack at the cube fixture's finest level is ~8.5 GB in
+    f64 and OOMs a 16 GB chip; _tiled_operator must return None past the
+    byte budget (callers fall back to plain ELL SpMV)."""
+    from meshopticalflow_tpu.models import base as mbase
+
+    n, w = 64, 4
+    cols = jnp.asarray(np.arange(n * w).reshape(n, w) % n, jnp.int32)
+    vals = jnp.ones((n, w), jnp.float32)
+
+    class Holder:
+        pass
+
+    h = Holder()
+    op = mbase._tiled_operator(cols, vals, h, "flow_bsr")
+    assert op is not None
+    y = op.matvec(jnp.ones(n, jnp.float32))
+    assert y.shape == (n,)
+
+    monkeypatch.setattr(mbase, "_TILED_OP_MAX_BYTES", 16)
+    h2 = Holder()
+    assert mbase._tiled_operator(cols, vals, h2, "flow_bsr") is None
+    # The skip decision is cached — second call short-circuits too.
+    assert h2.flow_bsr == ("skip",)
+    assert mbase._tiled_operator(cols, vals, h2, "flow_bsr") is None
