@@ -5,8 +5,11 @@ Usage:
     python -m meshopticalflow_tpu.apps.optical_flow \
         --mesh mesh.ply --in A.png B.png --out result.png [options]
 
-Headless (``--out``) mode only; the reference's GLUT viewer is out of scope
-for the TPU core (SURVEY.md section 2.2).
+With ``--out`` the app runs headless; without it, the viewer launches —
+the reference's GLUT shell (OpticalFlow.cpp:1072-1092) is rebuilt as a
+matplotlib pager under a display, a LIVE in-terminal renderer with
+orbit/pan/zoom + level stepping on a tty (viz/live.py), and per-level PNG
+frame dumps otherwise.
 """
 
 from __future__ import annotations

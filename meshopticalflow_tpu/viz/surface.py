@@ -157,6 +157,24 @@ def render_surface(
     plt.close(fig)
 
 
+def _want_terminal_live() -> bool:
+    """True when the process is attached to an interactive terminal (or
+    MESHFLOW_LIVE=1 forces it) — the display-less live-viewer trigger.
+    MESHFLOW_LIVE=0 forces headless frame dumps even on a tty."""
+    import os
+    import sys
+
+    env = os.environ.get("MESHFLOW_LIVE", "").strip().lower()
+    if env in ("0", "off", "no"):
+        return False
+    if env in ("1", "on", "yes"):
+        return True
+    try:
+        return sys.stdin.isatty() and sys.stdout.isatty()
+    except Exception:
+        return False
+
+
 def _interactive_pager(out_dir: str, export, title, handle_key) -> None:
     """Shared matplotlib pager scaffold for the interactive viewers:
     temp-PNG redraw, key dispatch, window lifecycle. ``export(path)``
@@ -250,6 +268,27 @@ def view_flow(problem, out_dir: str = ".", interactive: Optional[bool] = None,
                        camera=cam, glyph_scale=glyph_scale)
 
     os.makedirs(out_dir, exist_ok=True)
+    if not interactive and _want_terminal_live():
+        # Headless but attached to a terminal: run the LIVE in-terminal
+        # viewer (viz/live.py) with the same key bindings on top of the
+        # full orbit/pan/zoom camera loop.
+        from .live import LiveViewer
+
+        viewer = LiveViewer(
+            np.asarray(problem.vertices), problem.mesh.triangles,
+            camera=cam, out_dir=out_dir,
+            color_source=current_colors,
+            vfield_source=lambda: (np.asarray(problem.tfield)
+                                   if state["glyphs"] else None),
+            status_source=lambda: (f"level {state['level']}"
+                                   f" signal {state['signal']}"))
+        viewer.add_key("a", "advance one alignment level", advance)
+        viewer.add_key("t", "toggle displayed signal",
+                       lambda: state.update(signal=1 - state["signal"]))
+        viewer.add_key("v", "toggle vector glyphs",
+                       lambda: state.update(glyphs=not state["glyphs"]))
+        viewer.run()
+        return state["level"]
     if not interactive:
         export(os.path.join(out_dir, "level_000.png"))
         for lvl in range(cfg.levels):
@@ -310,6 +349,26 @@ def view_spectrum(verts: np.ndarray, tris: np.ndarray,
                        glyph_scale=glyph_scale)
 
     os.makedirs(out_dir, exist_ok=True)
+    if not interactive and _want_terminal_live():
+        from .live import LiveViewer
+
+        def title_live():
+            ev = ""
+            if eigenvalues is not None:
+                ev = f" lambda={float(np.asarray(eigenvalues)[state['idx']]):.4g}"
+            return f"eigenfield {state['idx'] + 1}/{k}{ev}"
+
+        viewer = LiveViewer(
+            np.asarray(verts), np.asarray(tris), camera=cam,
+            out_dir=out_dir,
+            vfield_source=lambda: fields[state["idx"]],
+            status_source=title_live)
+        viewer.add_key("n", "next eigenfield",
+                       lambda: state.update(idx=(state["idx"] + 1) % k))
+        viewer.add_key("b", "previous eigenfield",
+                       lambda: state.update(idx=(state["idx"] - 1) % k))
+        viewer.run()
+        return k
     if not interactive:
         for i in range(k):
             export(os.path.join(out_dir, f"eigenfield_{i + 1:03d}.png"), i)
