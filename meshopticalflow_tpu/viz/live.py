@@ -318,10 +318,12 @@ class LiveViewer:
         self.exports = 0
         self.frames = 0
         self._quit = False
+        self._tty = False
         if key_source is not None:
             self._keys = key_source
         elif sys.stdin.isatty():
             self._keys = _tty_keys()
+            self._tty = True
         else:
             self._keys = _token_keys(sys.stdin)
         self.callbacks: list[KeyboardCallBack] = []
@@ -377,6 +379,28 @@ class LiveViewer:
                 ("J", "pan down", pan(0, -1)),
         ]:
             self.add_key(key, desc, fn)
+
+    # -- prompts -------------------------------------------------------------
+    def prompt(self, label: str) -> str:
+        """Read a typed value — the analog of the reference's promptable
+        callbacks (Visualization.h read-prompt path feeding e.g.
+        ScalarSmoothWeightCallBack's atof(prompt), OpticalFlow.cpp:662-677).
+        On a raw tty, characters accumulate until Enter (escape cancels);
+        on a token stream, the next token is the value."""
+        self.display.stream.write(f"\x1b[0m\n\x1b[2K{label}")
+        self.display.stream.flush()
+        if self._tty:
+            buf = []
+            for ch in self._keys:
+                if ch in ("\r", "\n"):
+                    break
+                if ch == "escape":
+                    return ""
+                buf.append(ch)
+                self.display.stream.write(ch)
+                self.display.stream.flush()
+            return "".join(buf)
+        return next(self._keys, "")
 
     # -- built-in handlers ---------------------------------------------------
     def _export(self):

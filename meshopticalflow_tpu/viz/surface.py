@@ -287,6 +287,24 @@ def view_flow(problem, out_dir: str = ".", interactive: Optional[bool] = None,
                        lambda: state.update(signal=1 - state["signal"]))
         viewer.add_key("v", "toggle vector glyphs",
                        lambda: state.update(glyphs=not state["glyphs"]))
+
+        def set_weight(slot, label):
+            # The reference viewer's typed weight edits
+            # (ScalarSmoothWeightCallBack / VectorFieldSmoothWeightCallBack,
+            # OpticalFlow.cpp:662-677): set the smoothing weight the next
+            # advanced level will use.
+            def f():
+                val = viewer.prompt(f"{label} smooth weight: ")
+                try:
+                    state[slot] = float(val)
+                except ValueError:
+                    pass
+            return f
+
+        viewer.add_key("s", "set scalar smooth weight (prompt)",
+                       set_weight("s_weight", "scalar"))
+        viewer.add_key("w", "set vector-field smooth weight (prompt)",
+                       set_weight("v_weight", "vector-field"))
         viewer.run()
         return state["level"]
     if not interactive:

@@ -158,3 +158,32 @@ def test_view_spectrum_live_off_stays_headless(tmp_path, monkeypatch):
     monkeypatch.delenv("DISPLAY", raising=False)
     view_spectrum(verts, tris, fields, out_dir=str(tmp_path))
     assert os.path.exists(tmp_path / "eigenfield_001.png")
+
+
+def test_prompt_token_stream(tmp_path):
+    got = []
+    v, out = _viewer(tmp_path, ["p", "3.5", "q"])
+    v.add_key("p", "prompt demo",
+              lambda: got.append(v.prompt("value: ")))
+    v.run()
+    assert got == ["3.5"]
+    assert "value: " in out.getvalue()
+
+
+def test_view_flow_live_weight_prompt_and_advance(tmp_path, monkeypatch):
+    """The live flow viewer: 'w' typed-weight edit (the reference's
+    VectorFieldSmoothWeightCallBack, OpticalFlow.cpp:671-677), 'a' advance,
+    'q' quit — driven through the real view_flow entry."""
+    from meshopticalflow_tpu.config import FlowConfig
+    from meshopticalflow_tpu.utils.testing import synthetic_sphere_problem
+    from meshopticalflow_tpu.viz import view_flow
+
+    cfg = FlowConfig(dog_weight=0.0, levels=2, dtype="float64",
+                     cg_max_iters=100)
+    prob = synthetic_sphere_problem(cfg, subdiv=2)
+    monkeypatch.setenv("MESHFLOW_LIVE", "1")
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.setattr("sys.stdin", io.StringIO("w 0.125 a t v o q\n"))
+    n = view_flow(prob, out_dir=str(tmp_path), interactive=False)
+    assert n == 1
+    assert os.path.exists(tmp_path / "live_export_000.png")
