@@ -44,8 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the linear-fit Monte-Carlo stiffness (FEM.inl:1840)")
     p.add_argument("--view", default="",
                    help="render the eigen vector fields to this directory "
-                        "(interactive pager under a display; PNG frames "
-                        "headless — the reference viewer's 'b'/'n' analog)")
+                        "(interactive pager under a display; LIVE terminal "
+                        "viewer with orbit/pan/zoom on a tty; PNG frames "
+                        "otherwise — the reference viewer's 'b'/'n' analog)")
     return p
 
 
