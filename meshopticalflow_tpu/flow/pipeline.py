@@ -722,9 +722,13 @@ class FlowProblem:
                 return (self.src_t, self.src_p,
                         getattr(self, "_exp_exhausted", None))
 
+            # Keyed by the atlas dimensions (like the texsrc_host disk key):
+            # a texel COUNT alone can collide across W×H layouts of the
+            # same mesh and serve tables with the wrong pixel indexing.
             self.src_t, self.src_p, self._exp_exhausted = get_or_build(
                 _devkey("texsrc", config.pad_radius,
-                        int(texture_source.tri_idx.shape[0])),
+                        int(texture_source.width),
+                        int(texture_source.height)),
                 _build_texel_table)
         _mark("exp_remap")
         self.coeffs = jnp.zeros(basis.n_coeffs, dtype)
@@ -960,8 +964,13 @@ class FlowProblem:
         _t0 = time.time()
         if use_cache and self.device_mesh is None:
             from meshopticalflow_tpu.utils.devcache import get_or_build
+            # mg_coarse_exact is in the key independently of defer_dense:
+            # it also decides whether the dense patch blocks stay host-side
+            # (the `lazy` flag in _coarse_handles_uncached), so two configs
+            # differing only in that flag must not share a handle set.
             handles = get_or_build(
-                ("coarse_dev", ck, str(self.dtype), defer_dense),
+                ("coarse_dev", ck, str(self.dtype), defer_dense,
+                 bool(cfg.mg_coarse_exact)),
                 _build_handles)
         else:
             handles = _build_handles()

@@ -158,6 +158,25 @@ def build_flow_system(basis: BasisDevice, d_blocks, rhs_t, vf_smooth_weight):
     return sys_vals, dt_vals, rhs, diag, scale
 
 
+def _patch_s2_device(patch):
+    """One-time device materialization of the patch coarsest dense block.
+
+    Under mg_coarse_exact the handle keeps ``s2_dense`` host-side (possibly
+    a LazyNpzArray fallback, flow/pipeline.py attach path); solvers that DO
+    consume it (the XLA ThreeLevelSolver — the float64-on-TPU route — and
+    the Pallas banded-breakdown fallback) rebuild per level, so the upload
+    (~100-200 MB over the ~16 MB/s tunnel) must not recur per build. The
+    device copy is cached on the handle, dtype-preserving (stored f32)."""
+    if isinstance(patch.s2_dense, jax.Array):
+        return patch.s2_dense          # non-lazy path: already resident
+    cur = getattr(patch, "_s2_dev", None)
+    if cur is None:
+        import numpy as np
+        cur = jnp.asarray(np.asarray(patch.s2_dense))
+        patch._s2_dev = cur
+    return cur
+
+
 @jax.jit
 def patch_system_dense(q2_idx, q2_wt, d_blocks, scale, vf_smooth_weight, s2_dense):
     """Dense coarsest Galerkin system: scale * Q2^T D Q2 + lambda * S2."""
@@ -355,19 +374,16 @@ def _make_mg_solver(basis, coarse, patch, d_blocks, scale, vf_smooth_weight,
             if solver.c1_l_blocks is None:
                 solver = None   # factorization breakdown: fall back
         if solver is None:
-            # np.asarray materializes a LazyNpzArray fallback block
-            # (utils/artifacts.py) before the jit boundary.
-            import numpy as np
             a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks,
                                     scale, vf_smooth_weight,
-                                    jnp.asarray(np.asarray(patch.s2_dense)))
+                                    _patch_s2_device(patch))
             solver = PallasMG3Solver(pack, sys_vals, diag, c_vals, c_diag,
                                      a2, cheb_k=mg_cheb_k, nu=mg_nu)
         return solver
     if patch is not None:
         from meshopticalflow_tpu.solvers.mg3 import ThreeLevelSolver
         a2 = patch_system_dense(patch.q2_idx, patch.q2_wt, d_blocks, scale,
-                                vf_smooth_weight, patch.s2_dense)
+                                vf_smooth_weight, _patch_s2_device(patch))
         # Fine- and coarse-level matvecs dominate the on-device cycle;
         # revalue the RCM-tiled operators (ops/bsr.py, ~4.6x faster SpMV
         # than ELL on TPU for the edge-based flow patterns) from this

@@ -33,12 +33,40 @@ from typing import Any, Callable
 import os
 
 _CACHE: "OrderedDict[tuple, Any]" = OrderedDict()
+_SIZES: dict = {}
 _MAX_ENTRIES = 24
+# Device HBM is the real budget, so eviction is BYTE-bounded, not just
+# entry-bounded: a handful of 4K-atlas entries (texture pair ~400 MB,
+# coarse handles 100+ MB) would otherwise pin several GB of HBM alive in a
+# long --serve / track_sequence process that visits many meshes.
+_MAX_BYTES = int(float(os.environ.get(
+    "MESHFLOW_DEVCACHE_GB", "4.0")) * (1 << 30))
 
 
 def enabled() -> bool:
     return os.environ.get("MESHFLOW_DEVCACHE", "1").strip() not in (
         "0", "off", "no")
+
+
+def _entry_nbytes(value, _depth=0) -> int:
+    """Best-effort byte accounting: walk containers / handle objects one
+    structural layer at a time and sum ``.nbytes`` of array leaves. The
+    handles cached here (BasisDevice, PatchLevel, ...) are plain
+    dataclass-like objects whose fields are jax/numpy arrays."""
+    if _depth > 4:
+        return 0
+    nb = getattr(value, "nbytes", None)
+    if isinstance(nb, int):
+        return nb
+    if isinstance(value, dict):
+        items = value.values()
+    elif isinstance(value, (tuple, list)):
+        items = value
+    elif hasattr(value, "__dict__"):
+        items = vars(value).values()
+    else:
+        return 0
+    return sum(_entry_nbytes(v, _depth + 1) for v in items)
 
 
 def get_or_build(key: tuple, build: Callable[[], Any]) -> Any:
@@ -55,10 +83,19 @@ def get_or_build(key: tuple, build: Callable[[], Any]) -> Any:
         return _CACHE[key]
     value = build()
     _CACHE[key] = value
-    while len(_CACHE) > _MAX_ENTRIES:
-        _CACHE.popitem(last=False)
+    _SIZES[key] = _entry_nbytes(value)
+    while len(_CACHE) > 1 and (
+            len(_CACHE) > _MAX_ENTRIES
+            or sum(_SIZES.values()) > _MAX_BYTES):
+        old, _ = _CACHE.popitem(last=False)
+        _SIZES.pop(old, None)
     return value
+
+
+def total_bytes() -> int:
+    return sum(_SIZES.values())
 
 
 def clear() -> None:
     _CACHE.clear()
+    _SIZES.clear()

@@ -161,6 +161,13 @@ def enable_persistent_cache(path: str | None = None) -> None:
         min_secs = float(os.environ.get("MESHFLOW_JIT_CACHE_MIN_SECS", "0"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # enable() runs at package import — before backend init — so the
+        # forensics sidecar can't be recorded here. bench.py calls
+        # record_platform_sidecar_if_ready() explicitly post-init; for app
+        # sessions, record at exit (no-op if the backend never came up).
+        import atexit
+
+        atexit.register(record_platform_sidecar_if_ready)
         _ENABLED = True
     except Exception:
         pass

@@ -51,7 +51,7 @@ def render_rgb(verts: np.ndarray, tris: np.ndarray,
                face_colors: Optional[np.ndarray] = None,
                vertex_colors: Optional[np.ndarray] = None,
                vfield: Optional[np.ndarray] = None,
-               background=(12, 12, 16)) -> np.ndarray:
+               background=(12, 12, 16), zoom: float = 1.0) -> np.ndarray:
     """Rasterize the mesh to an (height, width, 3) uint8 frame.
 
     A fully vectorized software rasterizer sized for interactive terminal
@@ -66,9 +66,12 @@ def render_rgb(verts: np.ndarray, tris: np.ndarray,
     tris = np.asarray(tris, np.int64)
     xy, depth = camera.project(verts)
 
-    # Fit the model into the viewport (isotropic, like the offline path).
+    # Fit the model into the viewport (isotropic, like the offline path),
+    # then apply the orbit zoom. Zoom must ride OUTSIDE the fit: any
+    # uniform pre-scaling of xy is cancelled by the max(|xy|)
+    # normalization below.
     lim = np.abs(xy).max() * 1.05 + 1e-12
-    scale = 0.5 * min(width, height) / lim
+    scale = 0.5 * min(width, height) / lim * zoom
     px = xy[:, 0] * scale + width * 0.5
     py = height * 0.5 - xy[:, 1] * scale
 
@@ -241,12 +244,21 @@ _ARROWS = {"A": "up", "B": "down", "C": "right", "D": "left"}
 
 
 def _tty_keys() -> Iterator[str]:
-    """Cbreak key reader with arrow-key escape decoding."""
+    """Cbreak key reader with arrow-key escape decoding. A bare ESC press
+    yields "escape" immediately: after '\\x1b' the follow-up bytes are only
+    consumed if they are already pending (terminals emit a full arrow
+    sequence in one burst), so ESC never blocks or swallows the next
+    keystroke."""
+    import select
     import termios
     import tty
 
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
+
+    def _pending(timeout=0.03):
+        return bool(select.select([fd], [], [], timeout)[0])
+
     try:
         tty.setcbreak(fd)
         while True:
@@ -254,8 +266,11 @@ def _tty_keys() -> Iterator[str]:
             if not ch:
                 return
             if ch == "\x1b":
+                if not _pending():
+                    yield "escape"
+                    continue
                 nxt = sys.stdin.read(1)
-                if nxt == "[":
+                if nxt == "[" and _pending():
                     fin = sys.stdin.read(1)
                     yield _ARROWS.get(fin, "escape")
                 else:
@@ -451,28 +466,12 @@ class LiveViewer:
         return self.frames
 
     def _zoomed_frame(self) -> np.ndarray:
-        """Render at the display size with the camera's distance folded
-        into the fit scale (orthographic zoom: render_rgb normalizes model
-        extents, so zoom scales the projected coordinates)."""
+        """Render at the display size with the camera's distance mapped to
+        the orthographic zoom factor default_distance / distance."""
         w, h = self.display.size()
-        img = render_rgb(self.verts, self.tris,
-                         _ZoomedCamera(self.camera), w, h,
+        img = render_rgb(self.verts, self.tris, self.camera, w, h,
                          vertex_colors=self.color_source(),
-                         vfield=self.vfield_source())
+                         vfield=self.vfield_source(),
+                         zoom=3.0 / max(self.camera.distance, 1e-3))
         self.frames += 1
         return img
-
-
-class _ZoomedCamera:
-    """Camera proxy whose projection scales by the orbit zoom factor
-    ``default_distance / distance`` (default distance 3.0)."""
-
-    def __init__(self, cam: Camera):
-        self._cam = cam
-
-    def project(self, pts):
-        xy, depth = self._cam.project(pts)
-        return xy * (3.0 / max(self._cam.distance, 1e-3)), depth
-
-    def __getattr__(self, name):
-        return getattr(self._cam, name)

@@ -274,12 +274,31 @@ def view_flow(problem, out_dir: str = ".", interactive: Optional[bool] = None,
         # full orbit/pan/zoom camera loop.
         from .live import LiveViewer
 
+        # Frame sources are re-polled every keypress, but the underlying
+        # arrays live on DEVICE and only change when a level advances or
+        # the signal toggles — cache the d2h fetch by that state so
+        # camera-only keys (orbit/pan/zoom) never pay a tunnel fetch.
+        frame_cache = {}
+
+        def live_colors():
+            key = ("c", state["level"], state["signal"])
+            if frame_cache.get("ck") != key:
+                frame_cache["ck"], frame_cache["c"] = key, current_colors()
+            return frame_cache["c"]
+
+        def live_vfield():
+            if not state["glyphs"]:
+                return None
+            if frame_cache.get("vk") != state["level"]:
+                frame_cache["vk"] = state["level"]
+                frame_cache["v"] = np.asarray(problem.tfield)
+            return frame_cache["v"]
+
         viewer = LiveViewer(
             np.asarray(problem.vertices), problem.mesh.triangles,
             camera=cam, out_dir=out_dir,
-            color_source=current_colors,
-            vfield_source=lambda: (np.asarray(problem.tfield)
-                                   if state["glyphs"] else None),
+            color_source=live_colors,
+            vfield_source=live_vfield,
             status_source=lambda: (f"level {state['level']}"
                                    f" signal {state['signal']}"))
         viewer.add_key("a", "advance one alignment level", advance)

@@ -187,3 +187,36 @@ def test_view_flow_live_weight_prompt_and_advance(tmp_path, monkeypatch):
     n = view_flow(prob, out_dir=str(tmp_path), interactive=False)
     assert n == 1
     assert os.path.exists(tmp_path / "live_export_000.png")
+
+
+def test_render_rgb_zoom_scales_coverage():
+    """'+'/'-' must change the picture: render_rgb's fit normalization
+    would cancel any uniform camera-side scaling, so zoom rides the fit
+    scale itself (code-review r5 finding #1)."""
+    verts, tris = _two_triangles()
+    cam = Camera(target=(0, 0, 0.5))
+    bg = np.array([12, 12, 16])
+
+    def coverage(zoom):
+        img = render_rgb(verts, tris, cam, 64, 64, zoom=zoom)
+        return int((img != bg).any(axis=2).sum())
+
+    c_half, c_one, c_two = coverage(0.5), coverage(1.0), coverage(2.0)
+    assert c_half < c_one < c_two
+
+
+def test_live_zoom_key_changes_pixels(tmp_path):
+    frames = []
+
+    class Grab(TerminalDisplay):
+        def show(self, img, status=""):
+            frames.append(img.copy())
+            super().show(img, status)
+
+    verts, tris = _two_triangles()
+    v = LiveViewer(verts, tris, out_dir=str(tmp_path),
+                   display=Grab(stream=io.StringIO()),
+                   key_source=iter(["+", "q"]))
+    v.run()
+    assert len(frames) >= 2
+    assert not np.array_equal(frames[0], frames[1])

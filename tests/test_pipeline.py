@@ -282,3 +282,40 @@ def test_device_state_reused_across_constructions(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(r1.tfield),
                                   np.asarray(r3.tfield))
     devcache.clear()
+
+
+def test_devcache_byte_budget_evicts_lru(monkeypatch):
+    """Eviction is BYTE-bounded (HBM is the budget), keeping at least the
+    newest entry (code-review r5 finding #2)."""
+    import numpy as np
+
+    from meshopticalflow_tpu.utils import devcache
+
+    devcache.clear()
+    monkeypatch.setattr(devcache, "_MAX_BYTES", 3 * 1024)
+    a = devcache.get_or_build(("a",), lambda: np.zeros(256, np.float64))
+    b = devcache.get_or_build(("b",), lambda: np.zeros(256, np.float64))
+    # 2 KiB each against a 3 KiB budget: 'a' must have been evicted.
+    assert devcache.total_bytes() == 2048
+    assert devcache.get_or_build(("b",), lambda: None) is b
+    a2 = devcache.get_or_build(("a",), lambda: np.ones(256, np.float64))
+    assert a2 is not a                     # rebuilt, not served stale
+    # An entry larger than the whole budget is still cached (never evict
+    # down to zero — the value is live and in use).
+    big = devcache.get_or_build(("big",), lambda: np.zeros(4096, np.float64))
+    assert devcache.get_or_build(("big",), lambda: None) is big
+    devcache.clear()
+
+
+def test_devcache_entry_nbytes_walks_handles():
+    import numpy as np
+
+    from meshopticalflow_tpu.utils import devcache
+
+    class Handle:
+        def __init__(self):
+            self.x = np.zeros(10, np.float32)
+            self.y = (np.zeros(5, np.float64), "meta")
+
+    assert devcache._entry_nbytes((Handle(), np.zeros(2, np.int8))) == \
+        40 + 40 + 2
