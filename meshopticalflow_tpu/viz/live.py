@@ -347,6 +347,8 @@ class LiveViewer:
         self.add_key("c", "save camera", self._save_camera)
         self.add_key("?", "print key help", self._help)
         self.add_key("q", "quit", lambda: False)
+        # GLUT quits on ESC (Visualization.h KeyboardFunc, key 27).
+        self.add_key("escape", "quit", lambda: False)
 
     # -- registry ----------------------------------------------------------
     def add_key(self, key: str, description: str, handler) -> None:

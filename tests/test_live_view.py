@@ -220,3 +220,10 @@ def test_live_zoom_key_changes_pixels(tmp_path):
     v.run()
     assert len(frames) >= 2
     assert not np.array_equal(frames[0], frames[1])
+
+
+def test_escape_quits(tmp_path):
+    """GLUT exits on ESC (Visualization.h KeyboardFunc key 27)."""
+    v, _ = _viewer(tmp_path, ["escape", "o", "q"])
+    v.run()
+    assert v.exports == 0          # loop ended before 'o'
