@@ -285,9 +285,30 @@ def _quantize_iters(n: int) -> int:
     return 96
 
 
+def _sched_disk_key(solver, refine_tol, sched_key) -> str:
+    """Stable cross-process identity of a pinned schedule: the pack's
+    artifact key (mesh + basis config) + level + tolerance. Empty for
+    ad-hoc packs (no artifact identity) — those stay process-local."""
+    try:
+        from meshopticalflow_tpu.solvers.pallas_mg import _PACKS
+
+        ck = getattr(_PACKS.get(solver.pack_id), "cache_key", "") or ""
+    except Exception:
+        ck = ""
+    if not ck:
+        return ""
+    return f"{ck}.L{sched_key}.t{refine_tol:.0e}"
+
+
 def _flow_schedule_for(solver, rhs, x0, refine_tol, sched_key=None):
     """The pinned schedule for this solver's pack, if the fixed pipelined
-    path applies (banded Pallas solver, f32, cold start, df32 backend)."""
+    path applies (banded Pallas solver, f32, cold start, df32 backend).
+
+    Misses fall through to the DISK record a previous process persisted
+    (utils/artifacts.load_json): replaying the identical schedule makes the
+    fixed-pipeline executables hit the cross-process XLA compilation cache,
+    so a fresh process's early draws skip both the adaptive measuring
+    fetches AND the per-process recompile (round-5: 75-105 s on draw 2)."""
     import jax as _jax
 
     if x0 is not None or not hasattr(solver, "solve_fixed"):
@@ -299,13 +320,32 @@ def _flow_schedule_for(solver, rhs, x0, refine_tol, sched_key=None):
     from meshopticalflow_tpu.solvers.df32 import df32_probe
     if not df32_probe(_jax.default_backend()):
         return None
-    return _FLOW_SCHED.get(("flow", solver.pack_id, sched_key))
+    mem_key = ("flow", solver.pack_id, sched_key)
+    sched = _FLOW_SCHED.get(mem_key)
+    if sched is None:
+        from meshopticalflow_tpu.utils.artifacts import load_json
+
+        rec = load_json("sched", _sched_disk_key(solver, refine_tol,
+                                                 sched_key))
+        if (isinstance(rec, list) and 0 < len(rec) <= 4
+                and all(isinstance(n, int) and 0 < n <= 96 for n in rec)):
+            sched = tuple(rec)
+            _FLOW_SCHED[mem_key] = sched
+    return sched
+
+
+def _store_schedule(solver, refine_tol, sched_key, sched) -> None:
+    _FLOW_SCHED[("flow", solver.pack_id, sched_key)] = sched
+    from meshopticalflow_tpu.utils.artifacts import save_json
+
+    save_json("sched", _sched_disk_key(solver, refine_tol, sched_key),
+              list(sched))
 
 
 def _maybe_pin_schedule(solver, stats, refine_tol, sched_key=None):
     """After a successful adaptive refinement, pin its measured round
     lengths (ladder-quantized) for this pack so later levels replay them
-    without per-round fetches."""
+    without per-round fetches. Write-through to disk for the next process."""
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS
 
     rounds = _LAST_ROUNDS[0]
@@ -313,8 +353,8 @@ def _maybe_pin_schedule(solver, stats, refine_tol, sched_key=None):
         return
     if float(stats.rel_residual) > 1.5 * refine_tol:
         return
-    _FLOW_SCHED[("flow", solver.pack_id, sched_key)] = tuple(
-        _quantize_iters(int(n)) for n, _ in rounds)
+    _store_schedule(solver, refine_tol, sched_key,
+                    tuple(_quantize_iters(int(n)) for n, _ in rounds))
 
 
 def _make_mg_solver(basis, coarse, patch, d_blocks, scale, vf_smooth_weight,
@@ -547,11 +587,15 @@ def update_optical_flow(
                                   for n, _ in _LAST_ROUNDS[0])
                     if (extra and len(sched) + len(extra) <= 4
                             and float(stats.rel_residual) <= 1.5 * refine_tol):
-                        _FLOW_SCHED[("flow", solver.pack_id,
-                                     sched_key)] = tuple(sched) + extra
+                        _store_schedule(solver, refine_tol, sched_key,
+                                        tuple(sched) + extra)
                     else:
                         _FLOW_SCHED.pop(
                             ("flow", solver.pack_id, sched_key), None)
+                        from meshopticalflow_tpu.utils.artifacts import \
+                            drop_json
+                        drop_json("sched", _sched_disk_key(
+                            solver, refine_tol, sched_key))
                 return x, stats
             x, stats = refine_loop(
                 basis.ell_cols, sys_vals, rhs,

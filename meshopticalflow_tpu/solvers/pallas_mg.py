@@ -83,6 +83,10 @@ class MGPack:
     n1: int
     n2: int
     interpret: bool = False
+    # Stable per-problem artifact key ("" for ad-hoc packs): the disk
+    # identity used to persist pinned refinement schedules across
+    # processes (models/base.py).
+    cache_key: str = ""
     # Runtime registry uid (declared, not setattr'd ad hoc): assigned by
     # _register_pack on first solver construction; None until then.
     uid: object = dataclasses.field(default=None, repr=False, compare=False)
@@ -212,7 +216,8 @@ def build_mg_pack(fine_ell_cols: np.ndarray, c1_ell_cols: np.ndarray,
         p0=p0_op, p0t=p0t_op,
         p12_idx_p=jnp.asarray(d["p12_idx_p"], jnp.int32),
         p12_wt_p=jnp.asarray(np.asarray(d["p12_wt_p"], np.float32)),
-        n_fine=n_f, n1=n1, n2=n2, interpret=interpret)
+        n_fine=n_f, n1=n1, n2=n2, interpret=interpret,
+        cache_key=cache_key)
     if cache_key and not interpret:
         if len(_DEVICE_PACKS) >= 4:   # bound resident packs (~1 GB each)
             _DEVICE_PACKS.pop(next(iter(_DEVICE_PACKS)))

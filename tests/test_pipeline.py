@@ -319,3 +319,53 @@ def test_devcache_entry_nbytes_walks_handles():
 
     assert devcache._entry_nbytes((Handle(), np.zeros(2, np.int8))) == \
         40 + 40 + 2
+
+
+def test_pinned_schedule_persists_across_processes(monkeypatch, tmp_path):
+    """A schedule pinned by one process is served from disk to the next
+    (utils/artifacts JSON sidecar), so the fixed-pipeline executables hit
+    the cross-process XLA cache instead of recompiling (round-5 draw-2
+    tax). Corrupt/foreign records are rejected."""
+    from meshopticalflow_tpu.models import base
+    from meshopticalflow_tpu.solvers import pallas_mg
+    from meshopticalflow_tpu.solvers import df32
+    from meshopticalflow_tpu.utils import artifacts
+
+    monkeypatch.setenv("MESHFLOW_CACHE", str(tmp_path))
+
+    class Pack:
+        cache_key = "cafef00d"
+
+    class Solver:
+        pack_id = 7
+
+        def solve_fixed(self):
+            pass
+
+        c1_dinv = object()
+
+    pack, solver = Pack(), Solver()
+    reg = pallas_mg._PACKS.__class__()
+    reg[7] = pack
+    monkeypatch.setattr(pallas_mg, "_PACKS", reg)
+    monkeypatch.setattr(df32, "df32_probe", lambda backend="": True)
+
+    base._store_schedule(solver, 3e-9, 2, (48, 24))
+    # "Process 2": empty in-memory table, same disk.
+    monkeypatch.setattr(base, "_FLOW_SCHED", {})
+    rhs = jnp.zeros(8, jnp.float32)
+    assert base._flow_schedule_for(solver, rhs, None, 3e-9, 2) == (48, 24)
+    # Different level / tolerance: no record.
+    assert base._flow_schedule_for(solver, rhs, None, 3e-9, 3) is None
+    monkeypatch.setattr(base, "_FLOW_SCHED", {})
+    assert base._flow_schedule_for(solver, rhs, None, 1e-6, 2) is None
+    # Corrupt record is rejected.
+    artifacts.save_json("sched", base._sched_disk_key(solver, 3e-9, 2),
+                        [10_000, "x"])
+    monkeypatch.setattr(base, "_FLOW_SCHED", {})
+    assert base._flow_schedule_for(solver, rhs, None, 3e-9, 2) is None
+    # Ad-hoc pack (no artifact key): stays process-local.
+    pack.cache_key = ""
+    base._store_schedule(solver, 3e-9, 5, (96,))
+    monkeypatch.setattr(base, "_FLOW_SCHED", {})
+    assert base._flow_schedule_for(solver, rhs, None, 3e-9, 5) is None
