@@ -397,6 +397,21 @@ def _resampled_signals(arrays: ProblemArrays, smoothed, t1, p1):
     return _advected_vertex_signals(arrays, smoothed, t1, p1)
 
 
+_SCHED_CFG_DIGESTS: dict = {}
+
+
+def _sched_cfg_digest(config) -> str:
+    """Short stable digest of the frozen FlowConfig for schedule-pin keys
+    (config is hashable; repr of a frozen dataclass is deterministic)."""
+    d = _SCHED_CFG_DIGESTS.get(config)
+    if d is None:
+        from meshopticalflow_tpu.utils.artifacts import key_of
+
+        d = key_of("schedcfg", repr(config))[:8]
+        _SCHED_CFG_DIGESTS[config] = d
+    return d
+
+
 def _stage_solve(arrays: ProblemArrays, coeffs, d_blocks, rhs_t, v_weight,
                  config: FlowConfig, coarse=None, patch=None, x0=None,
                  device_mesh=None, sched_key=None, nd=None):
@@ -447,11 +462,18 @@ def _level_step(arrays: ProblemArrays, coeffs, tfield, s_weight, v_weight,
         arrays, tfield, smoothed, config, compact=compact_trace)
     _t2 = time.time()
     resampled = _resampled_signals(arrays, smoothed, t1, p1) if want_resampled else None
+    # The schedule pin key carries a config digest alongside the level:
+    # persisted schedules (models/base._sched_disk_key) must not be shared
+    # across configs that shape the level systems differently (weights,
+    # cycle parameters) — a same-mesh run with other flags would otherwise
+    # thrash the same disk record with guaranteed first-replay misses.
     new_coeffs, new_tfield, cg_stats = _stage_solve(arrays, coeffs, d_blocks, rhs_t,
                                                     v_weight, config, coarse, patch,
                                                     x0=warm_x,
                                                     device_mesh=device_mesh,
-                                                    sched_key=level, nd=nd)
+                                                    sched_key=(level,
+                                                               _sched_cfg_digest(config)),
+                                                    nd=nd)
     _t3 = time.time()
     from meshopticalflow_tpu.models.base import LAST_FLOW_SOLVE
     from meshopticalflow_tpu.solvers.refine import _LAST_ROUNDS

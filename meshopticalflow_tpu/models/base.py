@@ -297,7 +297,9 @@ def _sched_disk_key(solver, refine_tol, sched_key) -> str:
         ck = ""
     if not ck:
         return ""
-    return f"{ck}.L{sched_key}.t{refine_tol:.0e}"
+    sk = "_".join(map(str, sched_key)) if isinstance(sched_key, tuple) \
+        else str(sched_key)
+    return f"{ck}.L{sk}.t{refine_tol:.0e}"
 
 
 def _flow_schedule_for(solver, rhs, x0, refine_tol, sched_key=None):
@@ -327,8 +329,12 @@ def _flow_schedule_for(solver, rhs, x0, refine_tol, sched_key=None):
 
         rec = load_json("sched", _sched_disk_key(solver, refine_tol,
                                                  sched_key))
+        # Strict shape: only ladder-quantized round counts (anything else —
+        # including JSON booleans, which are ints to isinstance — would
+        # compile a fresh off-ladder executable, defeating the cache-hit
+        # purpose of the record).
         if (isinstance(rec, list) and 0 < len(rec) <= 4
-                and all(isinstance(n, int) and 0 < n <= 96 for n in rec)):
+                and all(type(n) is int and n in (24, 48, 96) for n in rec)):
             sched = tuple(rec)
             _FLOW_SCHED[mem_key] = sched
     return sched

@@ -75,7 +75,10 @@ def save_json(tag: str, key: str, value) -> None:
             json.dump(value, f)
         os.replace(tmp, path)          # atomic vs concurrent readers
     except OSError:
-        pass
+        try:
+            os.remove(tmp)             # don't leak partial temp files
+        except OSError:
+            pass
 
 
 def drop_json(tag: str, key: str) -> None:

@@ -349,6 +349,9 @@ def test_pinned_schedule_persists_across_processes(monkeypatch, tmp_path):
     reg[7] = pack
     monkeypatch.setattr(pallas_mg, "_PACKS", reg)
     monkeypatch.setattr(df32, "df32_probe", lambda backend="": True)
+    # Shadow the real module-global BEFORE storing: a leaked entry under a
+    # live pack uid could be replayed by an unrelated later test.
+    monkeypatch.setattr(base, "_FLOW_SCHED", {})
 
     base._store_schedule(solver, 3e-9, 2, (48, 24))
     # "Process 2": empty in-memory table, same disk.
@@ -359,11 +362,16 @@ def test_pinned_schedule_persists_across_processes(monkeypatch, tmp_path):
     assert base._flow_schedule_for(solver, rhs, None, 3e-9, 3) is None
     monkeypatch.setattr(base, "_FLOW_SCHED", {})
     assert base._flow_schedule_for(solver, rhs, None, 1e-6, 2) is None
-    # Corrupt record is rejected.
-    artifacts.save_json("sched", base._sched_disk_key(solver, 3e-9, 2),
-                        [10_000, "x"])
-    monkeypatch.setattr(base, "_FLOW_SCHED", {})
-    assert base._flow_schedule_for(solver, rhs, None, 3e-9, 2) is None
+    # Corrupt/foreign records are rejected: wrong types, JSON booleans
+    # (ints to isinstance), and off-ladder counts.
+    for bad in ([10_000, "x"], [True, 24], [37]):
+        artifacts.save_json("sched", base._sched_disk_key(solver, 3e-9, 2),
+                            bad)
+        monkeypatch.setattr(base, "_FLOW_SCHED", {})
+        assert base._flow_schedule_for(solver, rhs, None, 3e-9, 2) is None
+    # Tuple sched_keys (the production (level, config-digest) form) make
+    # filesystem-safe disk keys.
+    assert "(" not in base._sched_disk_key(solver, 3e-9, (3, "a1b2"))
     # Ad-hoc pack (no artifact key): stays process-local.
     pack.cache_key = ""
     base._store_schedule(solver, 3e-9, 5, (96,))
